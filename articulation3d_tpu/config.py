@@ -1,0 +1,342 @@
+"""Static configuration for the TPU-native Articulation3D framework.
+
+Replaces the reference's yacs CfgNode tree
+(`articulation3d/articulation3d/config/config.py:7-85` plus detectron2
+defaults frozen into `articulation3d/config/config.yaml`) with frozen
+dataclasses.  Everything here is *static* at trace time: capability toggles
+(`plane_on/axis_on/depth_on/mask_on/refine_on`) and shape bounds (proposal /
+detection padding) are resolved before `jax.jit`, so the whole forward pass
+compiles to a single fixed-shape XLA program.
+
+The `freeze` list keeps the reference's module-path contract
+(`MODEL.FREEZE`, applied in `planercnn.py:51-58`): paths are matched as
+prefixes against parameter pytree paths and drive both the optax gradient
+mask and loss routing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence, Tuple
+
+
+def _tuple(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(_tuple(v) for v in x)
+    return x
+
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet-50 backbone (reference `config/config.yaml:106-126`)."""
+
+    depth: int = 50
+    norm: str = "FrozenBN"        # frozen scale/bias folded at apply time
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    stride_in_1x1: bool = True    # Caffe-style: stride on the 1x1 conv
+    num_groups: int = 1
+    width_per_group: int = 64
+    freeze_at: int = 2            # stages <= freeze_at get stop_gradient
+    out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+
+
+@dataclass(frozen=True)
+class FPNConfig:
+    """FPN neck (reference `config/config.yaml:63-71`)."""
+
+    in_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    out_channels: int = 256
+    fuse_type: str = "sum"
+
+
+@dataclass(frozen=True)
+class AnchorConfig:
+    """One anchor size per level x 3 ratios (`config/config.yaml:38-54`)."""
+
+    sizes: Tuple[Tuple[float, ...], ...] = ((32.0,), (64.0,), (128.0,), (256.0,), (512.0,))
+    aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    offset: float = 0.0
+
+
+@dataclass(frozen=True)
+class RPNConfig:
+    """Region proposal network (reference `config/config.yaml:270-297`)."""
+
+    in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5", "p6")
+    iou_thresholds: Tuple[float, float] = (0.3, 0.7)
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    nms_thresh: float = 0.7
+    pre_nms_topk_train: int = 2000
+    post_nms_topk_train: int = 1000
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_test: int = 1000
+    bbox_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    smooth_l1_beta: float = 0.0
+    loss_weight: float = 1.0
+    min_size: float = 0.0
+    boundary_thresh: float = -1.0
+
+
+@dataclass(frozen=True)
+class BoxHeadConfig:
+    """FastRCNN box head: 2xFC(1024) on 7x7 ROIAlignV2
+    (reference `config/config.yaml:189-207`)."""
+
+    num_fc: int = 2
+    fc_dim: int = 1024
+    pooler_resolution: int = 7
+    pooler_sampling_ratio: int = 0
+    pooler_type: str = "ROIAlignV2"
+    bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    smooth_l1_beta: float = 0.0
+    cls_agnostic_bbox_reg: bool = False
+
+
+@dataclass(frozen=True)
+class ROIHeadsConfig:
+    """Proposal sampling + test-time filtering (`config/config.yaml:209-226`)."""
+
+    in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5")
+    num_classes: int = 2          # arti_rot, arti_tran
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    iou_threshold: float = 0.5
+    proposal_append_gt: bool = True
+    score_thresh_test: float = 0.7
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+
+
+@dataclass(frozen=True)
+class MaskHeadConfig:
+    """MaskRCNNConvUpsampleHead, class-agnostic (`config/config.yaml:245-255`)."""
+
+    num_conv: int = 4
+    conv_dim: int = 256
+    pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 2
+    pooler_type: str = "ROIAlign"
+    cls_agnostic: bool = True
+    mask_threshold: float = 0.5   # cfg.MODEL.ROI_MASK_HEAD.MASK_THRESHOLD
+    nms: bool = False             # per-pixel mask NMS (`layers/mask_ops.py:126-127`)
+
+
+@dataclass(frozen=True)
+class PlaneHeadConfig:
+    """Plane-parameter head (reference `modeling/roi_heads/plane_head.py:15-137`,
+    defaults `config/config.py:34-48`)."""
+
+    num_conv: int = 4
+    conv_dim: int = 256
+    num_fc: int = 1
+    fc_dim: int = 1024
+    param_dim: int = 3
+    pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 0
+    pooler_type: str = "ROIAlign"
+    normal_only: bool = True
+    loss_weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class AxisHeadConfig:
+    """Twin rotation/translation axis towers
+    (reference `modeling/roi_heads/axis_head.py:15-216`)."""
+
+    num_conv: int = 4
+    conv_dim: int = 256
+    num_fc: int = 1
+    fc_dim: int = 1024
+    pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 0
+    pooler_type: str = "ROIAlign"
+    loss_weight: float = 1.0
+    smooth_l1_beta: float = 0.0
+
+
+@dataclass(frozen=True)
+class DepthHeadConfig:
+    """Full-image FPN depth decoder
+    (reference `modeling/depth_net/depth_head.py:49-103`)."""
+
+    loss_weight: float = 1.0
+    output_height: int = 480
+    output_width: int = 640
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """SGD + WarmupMultiStepLR (reference `config/config.yaml:315-341`)."""
+
+    base_lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    gamma: float = 0.1
+    steps: Tuple[int, ...] = (210000, 250000)
+    warmup_factor: float = 1e-3
+    warmup_iters: int = 1000
+    max_iter: int = 1_000_000
+    ims_per_batch: int = 16
+    checkpoint_period: int = 1000
+    clip_gradients: bool = False
+    clip_value: float = 1.0
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    """Fixed 640x480 input, Caffe-style BGR mean (`config/config.yaml:90-97`)."""
+
+    height: int = 480
+    width: int = 640
+    format: str = "BGR"
+    pixel_mean: Tuple[float, float, float] = (103.53, 116.28, 123.675)
+    pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    size_divisibility: int = 32
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    eval_gt_box: bool = False
+    eval_period: int = 1000
+    # `detector_postprocess` is invoked with box_score_threshold=0.1
+    # (`modeling/meta_arch/planercnn.py:217`) — preserved as-is.
+    box_score_threshold: float = 0.1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    meta_architecture: str = "PlaneRCNN"
+    # capability toggles (reference `config/config.py:12-16`)
+    mask_on: bool = True
+    plane_on: bool = True
+    depth_on: bool = True
+    axis_on: bool = True
+    refine_on: bool = False
+    # module-path freeze list (reference `MODEL.FREEZE`)
+    freeze: Tuple[str, ...] = ()
+    resnet: ResNetConfig = field(default_factory=ResNetConfig)
+    fpn: FPNConfig = field(default_factory=FPNConfig)
+    anchors: AnchorConfig = field(default_factory=AnchorConfig)
+    rpn: RPNConfig = field(default_factory=RPNConfig)
+    roi_heads: ROIHeadsConfig = field(default_factory=ROIHeadsConfig)
+    box_head: BoxHeadConfig = field(default_factory=BoxHeadConfig)
+    mask_head: MaskHeadConfig = field(default_factory=MaskHeadConfig)
+    plane_head: PlaneHeadConfig = field(default_factory=PlaneHeadConfig)
+    axis_head: AxisHeadConfig = field(default_factory=AxisHeadConfig)
+    depth_head: DepthHeadConfig = field(default_factory=DepthHeadConfig)
+    # compute dtype for the conv trunk; params stay f32
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    input: InputConfig = field(default_factory=InputConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    datasets_train: Tuple[str, ...] = ("arti_train",)
+    datasets_test: Tuple[str, ...] = ("arti_val",)
+    output_dir: str = "exps/inference"
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _update_dataclass(obj, overrides: Mapping[str, Any]):
+    """Recursively apply a nested dict of overrides to a frozen dataclass."""
+    kw = {}
+    for key, val in overrides.items():
+        if not hasattr(obj, key):
+            raise KeyError(f"unknown config key {key!r} on {type(obj).__name__}")
+        cur = getattr(obj, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, Mapping):
+            kw[key] = _update_dataclass(cur, val)
+        else:
+            kw[key] = _tuple(val)
+    return dataclasses.replace(obj, **kw)
+
+
+def load_config(yaml_path: str | None = None, overrides: Mapping[str, Any] | None = None) -> Config:
+    """Build a Config, optionally merging a YAML file + a nested override dict.
+
+    YAML layout mirrors the dataclass tree (snake_case), not detectron2's
+    UPPER_CASE, e.g.::
+
+        model:
+          axis_on: true
+          freeze: [backbone, rpn]
+        solver:
+          base_lr: 0.001
+    """
+    cfg = Config()
+    if yaml_path is not None:
+        import yaml  # lazy: only needed when loading files
+
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _update_dataclass(cfg, data)
+    if overrides:
+        cfg = _update_dataclass(cfg, overrides)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Named recipe configs mirroring the reference's shipped YAMLs.
+# ---------------------------------------------------------------------------
+
+def inference_config() -> Config:
+    """Everything on except refine (reference `config/config.yaml:55-112`)."""
+    return Config(
+        model=ModelConfig(
+            mask_on=True, plane_on=True, depth_on=True, axis_on=True, refine_on=False,
+            freeze=(
+                "backbone", "proposal_generator",
+                "roi_heads.box_head", "roi_heads.box_predictor",
+                "roi_heads.axis_head",
+            ),
+        ),
+    )
+
+
+def step1_bbox_config() -> Config:
+    """Stage 1: detector only (reference `config/step1_bbox.yaml`)."""
+    return Config(
+        model=ModelConfig(mask_on=False, plane_on=False, depth_on=False,
+                          axis_on=False, refine_on=False),
+        solver=SolverConfig(ims_per_batch=16),
+        datasets_train=("arti_train",), datasets_test=("arti_val",),
+    )
+
+
+def step2_axis_config() -> Config:
+    """Stage 2: axis head, frozen detector (reference `config/step2_axis.yaml`)."""
+    return Config(
+        model=ModelConfig(
+            mask_on=False, plane_on=False, depth_on=False, axis_on=True,
+            refine_on=False,
+            freeze=("backbone", "proposal_generator",
+                    "roi_heads.box_head", "roi_heads.box_predictor"),
+        ),
+        solver=SolverConfig(ims_per_batch=16),
+        datasets_train=("arti_train",), datasets_test=("arti_val",),
+    )
+
+
+def step3_plane_config() -> Config:
+    """Stage 3: mask+plane+depth, frozen detector+axis
+    (reference `config/step3_plane.yaml`)."""
+    return Config(
+        model=ModelConfig(
+            mask_on=True, plane_on=True, depth_on=True, axis_on=True,
+            refine_on=False,
+            freeze=("backbone", "proposal_generator",
+                    "roi_heads.box_head", "roi_heads.box_predictor",
+                    "roi_heads.axis_head"),
+        ),
+        solver=SolverConfig(ims_per_batch=8),
+        datasets_train=("scannet_train",), datasets_test=("scannet_val",),
+    )

@@ -1,0 +1,250 @@
+"""PlaneRCNN meta-architecture — one fixed-shape jitted forward pass.
+
+Replaces the reference's registry-built nn.Module orchestration
+(`modeling/meta_arch/planercnn.py:24-219`, `modeling/roi_heads/roi_heads.py:20-273`)
+with a single flax module whose inference method is pure and shape-static:
+
+    backbone (R50) -> FPN -> RPN -> box head (+NMS) ->
+      cascade on final boxes: mask -> plane -> axis   -> depth head
+
+Capability toggles (mask/plane/axis/depth) are Python-level statics from the
+Config, resolved at trace time.  Detections are a fixed-capacity
+struct-of-arrays (`structures.Detections`); the entire batch of frames is
+processed in one XLA program with no host sync — the TPU replacement for the
+reference's per-frame batch-1 loop (`tools/inference.py:215-228`).
+
+Pooler conventions preserved from the reference:
+  * box head: ROIAlignV2 (aligned), 7x7, sampling_ratio 0;
+  * mask head: ROIAlign (V1), 14x14, sampling_ratio 2;
+  * plane/axis heads: ROIAlign (V1), 14x14, sampling_ratio 0
+  (`config/config.yaml:206,255,269`, `config/config.py:36-39,72-79`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.roi_align import multilevel_roi_align
+from ..structures import Detections
+from .depth_head import DepthHead
+from .fpn import FPN, FPN_STRIDES
+from .heads import AxisHead, BoxHead, MaskHead, PlaneHead, fast_rcnn_inference_single
+from .resnet import ResNet
+from .rpn import RPN
+
+ROI_STRIDES = (4, 8, 16, 32)  # p2..p5
+
+
+class PlaneRCNN(nn.Module):
+    config: Config
+
+    def setup(self):
+        cfg = self.config.model
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self._dtype = dtype
+        self.backbone = ResNet(cfg.resnet, dtype=dtype)
+        self.fpn = FPN(cfg.fpn, dtype=dtype)
+        self.rpn = RPN(cfg.rpn, cfg.anchors, dtype=dtype)
+        self.box_head = BoxHead(cfg.box_head, cfg.roi_heads.num_classes, dtype=dtype)
+        if cfg.mask_on:
+            self.mask_head = MaskHead(cfg.mask_head, cfg.roi_heads.num_classes, dtype=dtype)
+        if cfg.plane_on:
+            self.plane_head = PlaneHead(cfg.plane_head, dtype=dtype)
+        if cfg.axis_on:
+            self.axis_head = AxisHead(cfg.axis_head, dtype=dtype)
+        if cfg.depth_on:
+            self.depth_head = DepthHead(cfg.depth_head, dtype=dtype)
+
+    # ------------------------------------------------------------------ #
+    # shared feature extraction
+    # ------------------------------------------------------------------ #
+    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """images: preprocessed (B, H, W, 3) -> {p2..p6} float32 maps."""
+        feats = self.fpn(self.backbone(images))
+        return {k: v.astype(jnp.float32) for k, v in feats.items()}
+
+    def _pool(self, features, boxes, *, resolution, sampling_ratio, aligned):
+        """vmap multilevel ROIAlign over the batch.
+
+        features: {p2..p5: (B, H, W, C)}, boxes: (B, N, 4) -> (B, N, P, P, C).
+        """
+        roi_feats = [features[f] for f in self.config.model.roi_heads.in_features]
+
+        def per_image(feats, bxs):
+            return multilevel_roi_align(
+                feats, bxs, strides=ROI_STRIDES, output_size=resolution,
+                sampling_ratio=sampling_ratio, aligned=aligned)
+
+        return jax.vmap(per_image)(roi_feats, boxes)
+
+    # ------------------------------------------------------------------ #
+    # inference
+    # ------------------------------------------------------------------ #
+    def __call__(self, images: jnp.ndarray) -> Dict[str, Any]:
+        return self.inference(images)
+
+    def inference(self, images: jnp.ndarray,
+                  gt_boxes: Optional[jnp.ndarray] = None,
+                  gt_classes: Optional[jnp.ndarray] = None,
+                  gt_valid: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
+        """Full eval-mode forward.
+
+        Args:
+          images: (B, H, W, 3) preprocessed (normalized/padded) BGR frames.
+          gt_*: optional (B, N, ...) — when given, replaces detection with GT
+            boxes (TEST.EVAL_GT_BOX path, reference planercnn.py:152-165).
+        Returns dict with a `Detections` pytree and (B, 480, 640) depth.
+        """
+        cfg = self.config
+        mcfg = cfg.model
+        h, w = cfg.input.height, cfg.input.width
+        feats = self.features(images)
+
+        if gt_boxes is not None:
+            dets = {
+                "boxes": gt_boxes,
+                "scores": gt_valid.astype(jnp.float32),
+                "classes": gt_classes,
+                "valid": gt_valid,
+            }
+        else:
+            proposals, _ = self.rpn(feats, image_height=h, image_width=w,
+                                    training=False)
+            b, k = proposals["boxes"].shape[:2]
+            pooled = self._pool(feats, proposals["boxes"],
+                                resolution=mcfg.box_head.pooler_resolution,
+                                sampling_ratio=mcfg.box_head.pooler_sampling_ratio,
+                                aligned=True)
+            scores, deltas = self.box_head(pooled.reshape(b * k, *pooled.shape[2:]))
+            scores = scores.reshape(b, k, -1)
+            deltas = deltas.reshape(b, k, -1)
+
+            def per_image(s, d, pb, pv):
+                return fast_rcnn_inference_single(
+                    s, d, pb, pv, image_height=h, image_width=w,
+                    cfg=mcfg.roi_heads,
+                    bbox_reg_weights=mcfg.box_head.bbox_reg_weights)
+
+            dets = jax.vmap(per_image)(scores, deltas,
+                                       proposals["boxes"], proposals["valid"])
+
+        out = dict(dets)
+        b, d = dets["boxes"].shape[:2]
+
+        # cascade: mask / plane / axis on the final boxes
+        if mcfg.mask_on:
+            mp = self._pool(feats, dets["boxes"],
+                            resolution=mcfg.mask_head.pooler_resolution,
+                            sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
+                            aligned=False)
+            logits = self.mask_head(mp.reshape(b * d, *mp.shape[2:]))
+            m = logits.shape[1]
+            probs = jax.nn.sigmoid(logits)
+            if mcfg.mask_head.cls_agnostic:
+                probs = probs[..., 0]
+            else:
+                flat_cls = dets["classes"].reshape(b * d)
+                probs = jnp.take_along_axis(
+                    probs, flat_cls[:, None, None, None], axis=-1)[..., 0]
+            out["masks"] = probs.reshape(b, d, m, m)
+
+        if mcfg.plane_on or mcfg.axis_on:
+            pp = self._pool(feats, dets["boxes"],
+                            resolution=mcfg.plane_head.pooler_resolution,
+                            sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
+                            aligned=False)
+            flat = pp.reshape(b * d, *pp.shape[2:])
+            if mcfg.plane_on:
+                planes = self.plane_head(flat)
+                out["planes"] = planes.reshape(b, d, -1)
+            if mcfg.axis_on:
+                rot, tran = self.axis_head(flat)
+                out["rot_axis"] = rot.reshape(b, d, -1)
+                out["tran_axis"] = tran.reshape(b, d, -1)
+
+        result: Dict[str, Any] = {
+            "detections": Detections(
+                boxes=out["boxes"], scores=out["scores"],
+                classes=out["classes"], valid=out["valid"],
+                masks=out.get("masks"), planes=out.get("planes"),
+                rot_axis=out.get("rot_axis"), tran_axis=out.get("tran_axis")),
+        }
+        if mcfg.depth_on:
+            result["depth"] = self.depth_head(feats, train=False)
+        return result
+
+    # ------------------------------------------------------------------ #
+    # training forward: raw outputs for the loss module
+    # ------------------------------------------------------------------ #
+    def forward_train(self, images: jnp.ndarray, roi_boxes: jnp.ndarray):
+        """Training forward given already-sampled ROI boxes (B, S, 4).
+
+        Proposal sampling/matching happens in `train/targets.py` (host of the
+        two-stage matcher); this method runs the feature trunk + all heads on
+        the sampled ROIs and returns raw predictions for the loss.
+        """
+        cfg = self.config
+        mcfg = cfg.model
+        h, w = cfg.input.height, cfg.input.width
+        feats = self.features(images)
+        proposals, rpn_raw = self.rpn(feats, image_height=h, image_width=w,
+                                      training=True)
+
+        b, s = roi_boxes.shape[:2]
+        pooled = self._pool(feats, roi_boxes,
+                            resolution=mcfg.box_head.pooler_resolution,
+                            sampling_ratio=mcfg.box_head.pooler_sampling_ratio,
+                            aligned=True)
+        scores, deltas = self.box_head(pooled.reshape(b * s, *pooled.shape[2:]))
+
+        outputs = {
+            "proposals": proposals,
+            "rpn_raw": rpn_raw,
+            "box_scores": scores.reshape(b, s, -1),
+            "box_deltas": deltas.reshape(b, s, -1),
+        }
+
+        if mcfg.mask_on and "roi_heads.mask_head" not in mcfg.freeze:
+            mp = self._pool(feats, roi_boxes,
+                            resolution=mcfg.mask_head.pooler_resolution,
+                            sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
+                            aligned=False)
+            logits = self.mask_head(mp.reshape(b * s, *mp.shape[2:]))
+            outputs["mask_logits"] = logits.reshape(b, s, *logits.shape[1:])
+
+        need_pa = ((mcfg.plane_on and "roi_heads.plane_head" not in mcfg.freeze)
+                   or (mcfg.axis_on and "roi_heads.axis_head" not in mcfg.freeze))
+        if need_pa:
+            pp = self._pool(feats, roi_boxes,
+                            resolution=mcfg.plane_head.pooler_resolution,
+                            sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
+                            aligned=False)
+            flat = pp.reshape(b * s, *pp.shape[2:])
+            if mcfg.plane_on and "roi_heads.plane_head" not in mcfg.freeze:
+                outputs["plane_pred"] = self.plane_head(flat).reshape(b, s, -1)
+            if mcfg.axis_on and "roi_heads.axis_head" not in mcfg.freeze:
+                rot, tran = self.axis_head(flat)
+                outputs["rot_pred"] = rot.reshape(b, s, -1)
+                outputs["tran_pred"] = tran.reshape(b, s, -1)
+
+        if mcfg.depth_on and "depth_head" not in mcfg.freeze:
+            outputs["depth_pred"] = self.depth_head(feats, train=True)
+        return outputs
+
+
+def build_model(config: Config) -> PlaneRCNN:
+    return PlaneRCNN(config)
+
+
+def init_params(config: Config, rng: jax.Array, batch_size: int = 1):
+    """Initialize parameters with a dummy batch."""
+    model = build_model(config)
+    images = jnp.zeros((batch_size, config.input.height, config.input.width, 3),
+                       jnp.float32)
+    variables = model.init(rng, images, method=PlaneRCNN.inference)
+    return model, variables

@@ -1,0 +1,70 @@
+"""Fixed-shape NMS for TPU.
+
+Replaces the torchvision CUDA `nms` / detectron2 `batched_nms` used by the
+reference's RPN and FastRCNN inference (`config/config.yaml:222,291`).
+Exact greedy semantics: boxes are processed in descending score order; a box
+is suppressed iff it overlaps an earlier *kept* box with IoU > threshold.
+
+The whole thing is one jittable program: an (N, N) IoU matrix plus a
+`lax.fori_loop` over rows updating a keep mask — no dynamic shapes, no host
+sync.  N is the static padded capacity; invalid entries carry score -inf and
+never suppress anything.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .box_ops import pairwise_iou
+
+NEG_INF = -1e10
+
+
+def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+             iou_threshold: float) -> jnp.ndarray:
+    """Greedy NMS. Returns a bool keep mask aligned with the *input* order.
+
+    Args:
+      boxes: (N, 4) XYXY.
+      scores: (N,).
+      valid: (N,) bool — padded entries must be False.
+    """
+    n = boxes.shape[0]
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)  # descending, stable
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    iou = pairwise_iou(sboxes, sboxes)
+
+    def body(i, keep):
+        row_live = keep[i] & svalid[i]
+        suppress = row_live & (iou[i] > iou_threshold) & (jnp.arange(n) > i)
+        return keep & ~suppress
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
+    # scatter back to input order
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def batched_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     classes: jnp.ndarray, valid: jnp.ndarray,
+                     iou_threshold: float) -> jnp.ndarray:
+    """Class-wise NMS via the coordinate-offset trick (detectron2 batched_nms)."""
+    max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+    offsets = classes.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, valid, iou_threshold)
+
+
+def select_top(scores: jnp.ndarray, keep: jnp.ndarray, k: int):
+    """Pick the top-k kept entries by score.
+
+    Returns (indices (k,), valid (k,)): indices into the input arrays, ordered
+    by descending score; `valid[i]` False where fewer than k survive.
+    """
+    masked = jnp.where(keep, scores, NEG_INF)
+    top_scores, idx = jax.lax.top_k(masked, k)
+    return idx, top_scores > NEG_INF / 2
