@@ -62,20 +62,29 @@ class DepthHead(nn.Module):
             lanes[name] = ConvBNAct(128, "leaky_relu", dtype=self.dtype,
                                     name=f"conv{i + 1}")(features[name].astype(self.dtype), train)
 
-        def deconv(x, feats_out, name):
+        def deconv(x, feats_out, name, target_hw=None):
             x = _upsample_nearest_2x(x)
+            if target_hw is not None and x.shape[1:3] != target_hw:
+                # odd pyramid sizes (never hit at the reference's fixed
+                # 480x640) leave the 2x upsample one pixel off the skip grid
+                x = _resize_bilinear_nhwc(x, *target_hw)
             x = nn.Conv(feats_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"{name}_conv")(x)
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                              momentum=0.99, dtype=jnp.float32, name=f"{name}_bn")(x)
             return nn.relu(x)
 
+        def hw(name):
+            return tuple(features[name].shape[1:3])
+
         x = deconv(lanes["p6"], 128, "deconv1")
-        p5h, p5w = features["p5"].shape[1], features["p5"].shape[2]
-        x = _resize_bilinear_nhwc(x, p5h, p5w)
-        x = deconv(jnp.concatenate([lanes["p5"], x], axis=-1), 128, "deconv2")
-        x = deconv(jnp.concatenate([lanes["p4"], x], axis=-1), 128, "deconv3")
-        x = deconv(jnp.concatenate([lanes["p3"], x], axis=-1), 128, "deconv4")
+        x = _resize_bilinear_nhwc(x, *hw("p5"))
+        x = deconv(jnp.concatenate([lanes["p5"], x], axis=-1), 128, "deconv2",
+                   target_hw=hw("p4"))
+        x = deconv(jnp.concatenate([lanes["p4"], x], axis=-1), 128, "deconv3",
+                   target_hw=hw("p3"))
+        x = deconv(jnp.concatenate([lanes["p3"], x], axis=-1), 128, "deconv4",
+                   target_hw=hw("p2"))
         x = deconv(jnp.concatenate([lanes["p2"], x], axis=-1), 64, "deconv5")
         x = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=jnp.float32,
                     param_dtype=jnp.float32, name="depth_pred")(x.astype(jnp.float32))

@@ -181,19 +181,27 @@ class PlaneRCNN(nn.Module):
     # ------------------------------------------------------------------ #
     # training forward: raw outputs for the loss module
     # ------------------------------------------------------------------ #
-    def forward_train(self, images: jnp.ndarray, roi_boxes: jnp.ndarray):
-        """Training forward given already-sampled ROI boxes (B, S, 4).
+    def train_forward(self, images: jnp.ndarray, gt_boxes: jnp.ndarray,
+                      gt_classes: jnp.ndarray, gt_valid: jnp.ndarray,
+                      key: jax.Array):
+        """Full training forward: trunk -> RPN -> proposal sampling -> heads.
 
-        Proposal sampling/matching happens in `train/targets.py` (host of the
-        two-stage matcher); this method runs the feature trunk + all heads on
-        the sampled ROIs and returns raw predictions for the loss.
+        One feature pass feeds both the RPN loss (raw per-level outputs) and
+        the ROI heads on proposals sampled against GT (d2
+        `label_and_sample_proposals`, reference `roi_heads.py:85-117`).
+        Returns (outputs dict for `train.targets.detection_losses`, SampledROIs).
         """
+        from ..train.targets import sample_rois  # local: avoids import cycle
+
         cfg = self.config
         mcfg = cfg.model
         h, w = cfg.input.height, cfg.input.width
         feats = self.features(images)
         proposals, rpn_raw = self.rpn(feats, image_height=h, image_width=w,
                                       training=True)
+        rois = sample_rois(proposals["boxes"], proposals["valid"],
+                           gt_boxes, gt_classes, gt_valid, key, cfg)
+        roi_boxes = rois.boxes
 
         b, s = roi_boxes.shape[:2]
         pooled = self._pool(feats, roi_boxes,
@@ -234,7 +242,7 @@ class PlaneRCNN(nn.Module):
 
         if mcfg.depth_on and "depth_head" not in mcfg.freeze:
             outputs["depth_pred"] = self.depth_head(feats, train=True)
-        return outputs
+        return outputs, rois
 
 
 def build_model(config: Config) -> PlaneRCNN:

@@ -1,0 +1,7 @@
+"""Mesh/sharding utilities (data-parallel SPMD over ICI)."""
+
+from .mesh import (batch_sharding, make_mesh, pad_to_multiple, replicate,
+                   replicated, shard_batch)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "replicate", "pad_to_multiple"]

@@ -1,0 +1,91 @@
+"""Benchmark: end-to-end PlaneRCNN inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference never measures throughput (SURVEY.md §6); its video pipeline is
+a per-frame batch-1 GPU loop (`tools/inference.py:215-228`).  `vs_baseline`
+is computed against REF_FPS_ESTIMATE = 5.0 frames/s — a documented estimate
+of batch-1 detectron2 Mask R-CNN R50-FPN + aux heads at 480x640 on the
+reference's 2020-era CUDA environment (README.md:26-49); the driver target is
+>=10x that (BASELINE.md).  This stays an estimate until the weight-ported
+parity harness can time the actual torch reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REF_FPS_ESTIMATE = 5.0   # reference batch-1 per-frame GPU loop, see docstring
+BATCH = 8                # frames per device batch (video frames = batch axis)
+STEPS = 10
+
+
+def main():
+    import dataclasses
+
+    from articulation3d_tpu.config import inference_config
+    from articulation3d_tpu.models import PlaneRCNN, init_params
+
+    cfg = inference_config()
+    h, w = cfg.input.height, cfg.input.width
+
+    # param shapes don't depend on input size: initialize on the host CPU at a
+    # small resolution, then benchmark the full-size program on the TPU
+    t0 = time.time()
+    init_cfg = cfg.replace(
+        input=dataclasses.replace(cfg.input, height=128, width=160),
+        model=dataclasses.replace(
+            cfg.model, dtype="float32",
+            rpn=dataclasses.replace(cfg.model.rpn, pre_nms_topk_test=64,
+                                    post_nms_topk_test=64),
+            roi_heads=dataclasses.replace(cfg.model.roi_heads,
+                                          detections_per_image=8),
+            depth_head=dataclasses.replace(cfg.model.depth_head,
+                                           output_height=128, output_width=160)))
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, variables = init_params(init_cfg, jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, jax.devices()[0])
+    model = PlaneRCNN(cfg)
+    print(f"# init {time.time() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def forward(images):
+        return model.apply(variables, images, method=PlaneRCNN.inference)
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(BATCH, h, w, 3), jnp.float32)
+
+    t0 = time.time()
+    out = forward(images)
+    jax.block_until_ready(out)
+    print(f"# compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(STEPS):
+        out = forward(images)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    fps = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "inference_throughput_480x640",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_FPS_ESTIMATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,10 @@ import os
 import sys
 
 # force CPU: the global environment pins JAX_PLATFORMS=axon (real TPU) which
-# must never be used for tests (slow remote compiles, single chip)
+# must never be used for tests (slow remote compiles, single chip).  The env
+# var alone is NOT enough — the axon sitecustomize registers its PJRT plugin
+# at interpreter startup and overrides the platform choice, so we must also
+# set the config knob before first device use.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -21,4 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
