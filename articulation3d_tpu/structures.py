@@ -106,6 +106,39 @@ class Detections:
         return HostDetections(**out)
 
 
+class FramePrediction:
+    """Per-frame prediction for the temporal pipeline (host numpy).
+
+    The reference's detectron2 ``Instances`` with pred_* fields
+    (`utils/opt_utils.py` contract): boxes (N, 4 XYXY), scores (N,),
+    classes (N,), masks (N, H, W) bool at IMAGE resolution, planes (N, 3),
+    rot_axis (N, 3) [sin, cos, offset], tran_axis (N, 2) [sin, cos].
+    """
+
+    def __init__(self, boxes, scores, classes, masks, planes,
+                 rot_axis, tran_axis):
+        self.boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        self.scores = np.asarray(scores, np.float32).reshape(-1)
+        self.classes = np.asarray(classes, np.int64).reshape(-1)
+        self.masks = np.asarray(masks)
+        self.planes = np.asarray(planes, np.float32).reshape(-1, 3)
+        self.rot_axis = np.asarray(rot_axis, np.float32).reshape(-1, 3)
+        self.tran_axis = np.asarray(tran_axis, np.float32).reshape(-1, 2)
+
+    def __len__(self):
+        return len(self.boxes)
+
+    @property
+    def box_centers(self) -> np.ndarray:
+        return (self.boxes[:, :2] + self.boxes[:, 2:]) / 2.0
+
+    def copy(self) -> "FramePrediction":
+        return FramePrediction(self.boxes.copy(), self.scores.copy(),
+                               self.classes.copy(), self.masks,
+                               self.planes.copy(), self.rot_axis.copy(),
+                               self.tran_axis.copy())
+
+
 class HostDetections:
     """Trimmed numpy detections for host-side stages (tracker, eval, export)."""
 

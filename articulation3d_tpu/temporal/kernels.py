@@ -1,0 +1,138 @@
+"""Jitted hypothesis-sweep kernels for the temporal optimizer.
+
+The reference sweeps articulation hypotheses with a Python loop per angle —
+lift mask pixels to 3D, pytorch3d Transform3d per hypothesis, project, and a
+per-angle scatter into a fresh CUDA mask (`utils/opt_utils.py:382-682`),
+with CPU<->GPU round-trips per track.  Here the whole sweep is ONE fused XLA
+program with fixed shapes:
+
+  * all H*W pixels are lifted at once (off-mask pixels carry weight 0, so
+    the scatter result is identical to the reference's nonzero-pixel gather);
+  * Rodrigues rotation about the axis replaces pytorch3d — note pytorch3d's
+    row-vector convention means `Rotate(R).transform_points(p) == p @ R`,
+    which we reproduce exactly (points and normals transform alike for pure
+    rotations);
+  * the hypothesis axis is vmapped (45 angles / 20 translation steps);
+  * per-frame best-IoU reduces to one (F, HW) x (HW, A) matmul on the MXU.
+
+Projection uses the optimizer intrinsics f=517.97 (`utils/vis.py:62-103`);
+integer truncation and the row/col clamping match torch `.long()` + index
+clamps (`opt_utils.py:440-455`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.camera import FOCAL_OPT
+
+
+def _pixel_grid(h: int, w: int) -> np.ndarray:
+    """(H*W, 2) pixel coordinates in (x, y) order, row-major over (y, x)."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float32)
+
+
+def rodrigues(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix about unit `axis` by `angle` (standard column conv.)."""
+    x, y, z = axis[0], axis[1], axis[2]
+    k = jnp.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    return jnp.eye(3) + s * k + (1.0 - c) * (k @ k)
+
+
+def _lift_grid(mask: jnp.ndarray, normal: jnp.ndarray, offset: jnp.ndarray,
+               h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-pixels plane lift: (HW, 3) pcd + (HW,) mask weights."""
+    grid = jnp.asarray(_pixel_grid(h, w))
+    fx = FOCAL_OPT
+    cx, cy = w / 2.0, h / 2.0
+    ray = jnp.stack([(grid[:, 0] - cx) / fx, (grid[:, 1] - cy) / fx,
+                     jnp.ones(h * w, jnp.float32)], axis=1)
+    denom = ray @ normal
+    depth = offset / jnp.where(denom == 0, jnp.nan, denom)
+    pcd = depth[:, None] * ray
+    weights = mask.reshape(-1).astype(jnp.float32)
+    return pcd, weights
+
+
+def _project_scatter(pcd_t: jnp.ndarray, weights: jnp.ndarray,
+                     h: int, w: int) -> jnp.ndarray:
+    """Project transformed points and scatter weights -> (H, W) mask."""
+    fx = FOCAL_OPT
+    cx, cy = w / 2.0, h / 2.0
+    z = pcd_t[:, 2]
+    px = fx * pcd_t[:, 0] / z + cx
+    py = fx * pcd_t[:, 1] / z + cy
+    px = jnp.nan_to_num(px, nan=0.0, posinf=0.0, neginf=0.0)
+    py = jnp.nan_to_num(py, nan=0.0, posinf=0.0, neginf=0.0)
+    # torch .long() truncates toward zero; then clamp rows/cols separately
+    col = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    row = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    flat = row * w + col
+    out = jnp.zeros(h * w, jnp.float32).at[flat].max(weights)
+    return out.reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def rotation_sweep(mask: jnp.ndarray, normal: jnp.ndarray, offset: jnp.ndarray,
+                   axis_point: jnp.ndarray, dir_vec: jnp.ndarray,
+                   angles: jnp.ndarray, *, h: int, w: int) -> jnp.ndarray:
+    """(A, H, W) projected masks of `mask` rotated about the 3D axis.
+
+    Reproduces `opt_utils.py:418-456`: translate to axis point, rotate by
+    each angle about dir_vec (pytorch3d row-vector convention == p @ R),
+    translate back, project, scatter.
+    """
+    pcd, weights = _lift_grid(mask, normal, offset, h, w)
+
+    def one(angle):
+        r = rodrigues(dir_vec, angle)
+        pcd_t = (pcd - axis_point) @ r + axis_point
+        return _project_scatter(pcd_t, weights, h, w)
+
+    return jax.vmap(one)(angles)
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def translation_sweep(mask: jnp.ndarray, normal: jnp.ndarray,
+                      offset: jnp.ndarray, dir_vec: jnp.ndarray,
+                      steps: jnp.ndarray, *, h: int, w: int) -> jnp.ndarray:
+    """(A, H, W) projected masks of `mask` translated along dir_vec
+    (reference `opt_utils.py:723-749`)."""
+    pcd, weights = _lift_grid(mask, normal, offset, h, w)
+
+    def one(step):
+        return _project_scatter(pcd + step * dir_vec, weights, h, w)
+
+    return jax.vmap(one)(steps)
+
+
+@jax.jit
+def iou_matrix(masks: jnp.ndarray, proj_masks: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of (F, H, W) frame masks vs (A, H, W) hypothesis masks.
+
+    The reference's per-frame loop (`opt_utils.py:462-476`) becomes one
+    (F, HW) @ (HW, A) matmul for the intersections — MXU-shaped.
+    """
+    f = (masks > 0.5).reshape(masks.shape[0], -1).astype(jnp.float32)
+    a = (proj_masks > 0.5).reshape(proj_masks.shape[0], -1).astype(jnp.float32)
+    inter = f @ a.T
+    union = f.sum(1)[:, None] + a.sum(1)[None, :] - inter
+    return inter / union
+
+
+@jax.jit
+def transform_normals(normal: jnp.ndarray, dir_vec: jnp.ndarray,
+                      angles: jnp.ndarray) -> jnp.ndarray:
+    """(A, 3) rotated plane normals (pytorch3d transform_normals == n @ R
+    for pure rotations, `opt_utils.py:579`)."""
+    def one(angle):
+        return normal @ rodrigues(dir_vec, angle)
+
+    return jax.vmap(one)(angles)

@@ -1,0 +1,242 @@
+"""Temporal pipeline tests: tracker, sweep kernels, RANSAC optimizer.
+
+Synthetic articulated sequences are generated with the sweep kernels
+themselves (rotate/translate a planar mask through exact hypothesis-grid
+angles), so the optimizer must recover the articulation with IoU 1.0 at the
+true angles.
+"""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from articulation3d_tpu.data.axis_codec import (angle_offset_to_axis,
+                                                axis_to_angle_offset)
+from articulation3d_tpu.structures import FramePrediction
+from articulation3d_tpu.temporal import (iou_matrix, optimize_planes,
+                                         rotation_sweep, track_planes,
+                                         translation_sweep)
+from articulation3d_tpu.temporal.optimizer import fit_plane_from_normals
+
+H, W = 60, 80
+PLANE_STORED = np.array([0.0, 2.0, 0.0], np.float32)  # camera (0, 0, 2)
+
+
+def base_mask():
+    m = np.zeros((H, W), np.float32)
+    m[20:40, 30:50] = 1.0
+    return m
+
+
+def encode_axis(seg, center):
+    return axis_to_angle_offset(np.asarray(seg, np.float64)[None],
+                                np.asarray(center, np.float64)[None])[0]
+
+
+def make_frame(mask, rot_axis=None, tran_axis=None, extra_rot_box=False,
+               plane=None):
+    ys, xs = np.nonzero(mask > 0.5)
+    box = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], np.float32)
+    n = 2 if extra_rot_box else 1
+    boxes = np.tile(box, (n, 1))
+    if extra_rot_box:
+        boxes[1] = [0, 0, 10, 10]
+    masks = np.tile(mask[None], (n, 1, 1))
+    center = (box[:2] + box[2:]) / 2
+    if rot_axis is None:
+        rot_axis = encode_axis([30, 0, 30, H - 1], center)[:3]
+    if tran_axis is None:
+        tran_axis = np.array([0.0, 1.0], np.float32)
+    if plane is None:
+        plane = PLANE_STORED
+    return FramePrediction(
+        boxes=boxes, scores=np.full(n, 0.9), classes=np.zeros(n, np.int64),
+        masks=masks, planes=np.tile(plane, (n, 1)),
+        rot_axis=np.tile(rot_axis, (n, 1)),
+        tran_axis=np.tile(np.asarray(tran_axis, np.float32), (n, 1)))
+
+
+def seed_geometry(plane_stored=PLANE_STORED):
+    """Ground-truth lift of the base mask through its plane + axis."""
+    from articulation3d_tpu.utils.camera import get_pcd
+    from articulation3d_tpu.utils.coords import plane_to_camera
+    cam = plane_to_camera(np.asarray(plane_stored, np.float64))
+    offset = np.linalg.norm(cam)
+    normal = cam / offset
+    pts = np.array([[30.0, 0.0], [30.0, H - 1.0]])
+    axis3d = np.asarray(get_pcd(pts, normal, offset, h=H, w=W))
+    dvec = axis3d[1] - axis3d[0]
+    dvec /= np.linalg.norm(dvec)
+    return normal, offset, axis3d[0], dvec
+
+
+# --------------------------------------------------------------------------- #
+# kernels
+# --------------------------------------------------------------------------- #
+
+def test_rotation_sweep_identity():
+    normal, offset, p0, dvec = seed_geometry()
+    m = base_mask()
+    proj = np.asarray(rotation_sweep(
+        jnp.asarray(m), jnp.asarray(normal, jnp.float32), jnp.float32(offset),
+        jnp.asarray(p0, jnp.float32), jnp.asarray(dvec, jnp.float32),
+        jnp.asarray([0.0], jnp.float32), h=H, w=W))
+    # zero rotation reproduces the mask exactly
+    np.testing.assert_array_equal(proj[0] > 0.5, m > 0.5)
+
+
+def test_rotation_sweep_moves_mask():
+    normal, offset, p0, dvec = seed_geometry()
+    m = base_mask()
+    proj = np.asarray(rotation_sweep(
+        jnp.asarray(m), jnp.asarray(normal, jnp.float32), jnp.float32(offset),
+        jnp.asarray(p0, jnp.float32), jnp.asarray(dvec, jnp.float32),
+        jnp.asarray([0.6], jnp.float32), h=H, w=W))
+    iou = np.asarray(iou_matrix(jnp.asarray(m[None]), jnp.asarray(proj)))[0, 0]
+    assert 0.0 < iou < 0.9  # rotated well away but still visible
+
+
+def test_iou_matrix_matches_numpy():
+    rs = np.random.RandomState(0)
+    f = (rs.rand(3, H, W) > 0.5).astype(np.float32)
+    a = (rs.rand(4, H, W) > 0.5).astype(np.float32)
+    got = np.asarray(iou_matrix(jnp.asarray(f), jnp.asarray(a)))
+    for i in range(3):
+        for j in range(4):
+            inter = np.sum((f[i] > 0.5) & (a[j] > 0.5))
+            union = np.sum((f[i] > 0.5) | (a[j] > 0.5))
+            assert got[i, j] == pytest.approx(inter / union, abs=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# tracker
+# --------------------------------------------------------------------------- #
+
+def test_track_planes_basic():
+    frames = [make_frame(base_mask()) for _ in range(12)]
+    planes = track_planes(frames)
+    assert len(planes["rot"]) == 1 and len(planes["trans"]) == 0
+    assert set(planes["rot"][0]["ids"]) == set(range(12))
+
+
+def test_track_planes_drops_short_and_gapped():
+    frames = [make_frame(base_mask()) for _ in range(8)]  # < 10 frames
+    assert track_planes(frames)["rot"] == []
+    # a > 5 frame gap splits the track into two short tracks -> both dropped
+    m2 = np.roll(base_mask(), 0, axis=1)
+    seq = [make_frame(base_mask()) for _ in range(7)]
+    seq += [make_frame(np.zeros((H, W), np.float32) + (base_mask() * 0))
+            for _ in range(0)]
+    planes = track_planes(seq)
+    assert planes["rot"] == []
+
+
+# --------------------------------------------------------------------------- #
+# optimizer
+# --------------------------------------------------------------------------- #
+
+@pytest.fixture
+def det_choice(monkeypatch):
+    """Deterministic RANSAC seed frame: always the first remaining id."""
+    monkeypatch.setattr(random, "choice", lambda lst: lst[0])
+
+
+def _rot_sequence(n=12):
+    """Frame t = base mask rotated by t*pi/30 about the GT axis."""
+    normal, offset, p0, dvec = seed_geometry()
+    angles = np.arange(n) * np.pi / 30
+    proj = np.asarray(rotation_sweep(
+        jnp.asarray(base_mask()), jnp.asarray(normal, jnp.float32),
+        jnp.float32(offset), jnp.asarray(p0, jnp.float32),
+        jnp.asarray(dvec, jnp.float32), jnp.asarray(angles, jnp.float32),
+        h=H, w=W))
+    return [make_frame(proj[t], extra_rot_box=(t == 5)) for t in range(n)]
+
+
+def test_optimize_rotation_confirms_articulation(det_choice):
+    preds = _rot_sequence()
+    planes = track_planes(preds)
+    assert len(planes["rot"]) == 1
+    opt = optimize_planes(preds, planes, "3dc", h=H, w=W)
+    track = planes["rot"][0]
+    assert track["has_rot"] is True
+    # the snapped axis decodes to the frame-0 vertical line x = 30 (decode
+    # truncates to int like the reference, so 29 or 30)
+    seg = np.asarray(track["std_axis"])
+    assert seg[0] == seg[2] and abs(seg[0] - 30) <= 1
+    # tracked detections keep their scores; the untracked frame-5 box is
+    # down-weighted by 0.6
+    assert opt[3].scores[0] == pytest.approx(0.9)
+    assert opt[5].scores[1] == pytest.approx(0.9 * 0.6)
+    # every track frame's axis re-encodes the canonical segment about its
+    # own box center
+    for idx, box_id in track["ids"].items():
+        center = opt[idx].box_centers[box_id]
+        expect = axis_to_angle_offset(seg.astype(np.float64)[None],
+                                      center[None])[0][:3]
+        np.testing.assert_allclose(opt[idx].rot_axis[box_id], expect, atol=1e-5)
+
+
+def test_optimize_rotation_rejects_static(det_choice):
+    """All-identical frames: angles constant -> linregress r is nan -> the
+    reference's `nan < 0.3 == False` quirk confirms articulation."""
+    preds = [make_frame(base_mask()) for _ in range(12)]
+    planes = track_planes(preds)
+    opt = optimize_planes(preds, planes, "3dc", h=H, w=W)
+    assert planes["rot"][0]["has_rot"] is True  # reference quirk preserved
+    assert opt[0].scores[0] == pytest.approx(0.9)
+
+
+def test_optimize_rejects_inconsistent_motion(det_choice):
+    """Random unrelated masks: hypothesis IoUs stay low -> no articulation,
+    all rot scores down-weighted."""
+    rs = np.random.RandomState(3)
+    preds = []
+    for t in range(12):
+        m = np.zeros((H, W), np.float32)
+        m[20:40, 30:50] = 1.0  # same box (tracks), but scrambled content
+        m *= (rs.rand(H, W) > 0.5)
+        preds.append(make_frame(m))
+    planes = track_planes(preds)
+    if not planes["rot"]:
+        pytest.skip("tracker dropped the noisy track")
+    opt = optimize_planes(preds, planes, "3dc", h=H, w=W)
+    if not planes["rot"][0]["has_rot"]:
+        assert opt[0].scores[0] == pytest.approx(0.9 * 0.6)
+
+
+def test_optimize_translation(det_choice):
+    # a deeper plane (offset 20) keeps the 0.1-step pixel shift small enough
+    # (~2.6 px/frame) for the IoU tracker to hold the track together
+    plane_stored = np.array([0.0, 20.0, 0.0], np.float32)
+    normal, offset, p0, dvec = seed_geometry(plane_stored)
+    steps = np.arange(10) * 0.1
+    proj = np.asarray(translation_sweep(
+        jnp.asarray(base_mask()), jnp.asarray(normal, jnp.float32),
+        jnp.float32(offset), jnp.asarray(dvec, jnp.float32),
+        jnp.asarray(steps, jnp.float32), h=H, w=W))
+    preds = []
+    for t in range(10):
+        f = make_frame(proj[t], plane=plane_stored)
+        f.classes[:] = 1  # translation class
+        preds.append(f)
+    planes = track_planes(preds)
+    assert len(planes["trans"]) == 1
+    opt = optimize_planes(preds, planes, "3dc", h=H, w=W)
+    track = planes["trans"][0]
+    assert track["has_rot"] is True
+    # canonical tran_axis copied (not re-encoded) to every track frame
+    for idx, box_id in track["ids"].items():
+        np.testing.assert_allclose(opt[idx].tran_axis[box_id],
+                                   track["std_axis"], atol=1e-6)
+
+
+def test_fit_plane_from_normals():
+    # normals spread in the xy-plane -> fitted direction is +-z
+    rs = np.random.RandomState(0)
+    ang = rs.uniform(0, 2 * np.pi, 50)
+    normals = np.stack([np.cos(ang), np.sin(ang), np.zeros(50)], axis=1)
+    n = fit_plane_from_normals(normals)
+    assert abs(n[2]) == pytest.approx(1.0, abs=1e-6)
