@@ -240,6 +240,8 @@ class Config:
     datasets_train: Tuple[str, ...] = ("arti_train",)
     datasets_test: Tuple[str, ...] = ("arti_val",)
     output_dir: str = "exps/inference"
+    # model weights: orbax checkpoint dir, d2 .pth/.pkl (ported on load), or ""
+    weights: str = ""
     seed: int = 0
 
     def replace(self, **kw) -> "Config":

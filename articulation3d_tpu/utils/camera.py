@@ -47,7 +47,14 @@ def get_pcd(verts: jnp.ndarray, normal: jnp.ndarray, offset: jnp.ndarray,
     verts: (N, 2) pixel (x, y); normal: (3,); offset: scalar -> (N, 3).
     (reference `utils/vis.py:86-103`)
     """
-    k_inv = jnp.asarray(np.linalg.inv(intrinsics(h, w, focal_length)))
+    if isinstance(verts, np.ndarray):  # host path: float64 like the reference
+        k_inv = np.linalg.inv(intrinsics(h, w, focal_length))
+        homo = np.concatenate([verts, np.ones((verts.shape[0], 1))], axis=1)
+        ray = homo @ k_inv.T
+        depth = np.asarray(offset) / (ray @ np.asarray(normal))
+        return depth[:, None] * ray
+    k_inv = jnp.asarray(np.linalg.inv(intrinsics(h, w, focal_length)),
+                        jnp.float32)
     ones = jnp.ones((verts.shape[0], 1), verts.dtype)
     homo = jnp.concatenate([verts, ones], axis=1)          # (N, 3)
     ray = homo @ k_inv.T                                    # (N, 3)
@@ -76,7 +83,11 @@ def project2D(pcd: jnp.ndarray, h: int = 480, w: int = 640,
               focal_length: float = FOCAL_OPT) -> jnp.ndarray:
     """Project (N, 3) camera-space points to (N, 2) pixels
     (reference `utils/vis.py:62-83`)."""
-    k = jnp.asarray(intrinsics(h, w, focal_length))
+    if isinstance(pcd, np.ndarray):
+        k = intrinsics(h, w, focal_length)
+        proj = pcd @ k.T
+        return proj[:, :2] / proj[:, 2][:, None]
+    k = jnp.asarray(intrinsics(h, w, focal_length), jnp.float32)
     proj = pcd @ k.T
     return proj[:, :2] / proj[:, 2][:, None]
 

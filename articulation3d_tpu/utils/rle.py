@@ -21,6 +21,10 @@ RLE = Dict[str, Union[str, bytes, List[int], Sequence[int]]]
 
 def _mask_to_counts(mask: np.ndarray) -> np.ndarray:
     """Column-major run lengths, first run counts zeros."""
+    from ..native import rle_encode_counts
+    native = rle_encode_counts(np.asarray(mask, np.uint8))
+    if native is not None:
+        return native
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     if flat.size == 0:
         return np.zeros((0,), np.int64)
@@ -33,6 +37,10 @@ def _mask_to_counts(mask: np.ndarray) -> np.ndarray:
 
 
 def _counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
+    from ..native import rle_decode_counts
+    native = rle_decode_counts(np.asarray(counts, np.int64), h, w)
+    if native is not None:
+        return native
     total = int(np.sum(counts))
     flat = np.zeros(total, np.uint8)
     pos = 0

@@ -1,0 +1,47 @@
+"""Host-side video IO: ffmpeg decode/encode via imageio.
+
+Thin shim matching `tools/inference.py:203-278`: mp4 (or single png) in,
+640x480 BGR frames out; side-by-side visualization mp4 writer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+def read_frames(path: str, height: int = 480, width: int = 640
+                ) -> Tuple[List[np.ndarray], Optional[float]]:
+    """Decode a video (or single image) to a list of (H, W, 3) BGR uint8.
+
+    Returns (frames, fps); fps is None for still images.
+    """
+    if path.endswith(".png") or path.endswith(".jpg"):
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return [cv2.resize(img, (width, height))], None
+
+    import imageio
+    reader = imageio.get_reader(path)
+    fps = reader.get_meta_data().get("fps", 30.0)
+    frames = []
+    for im in reader:                      # imageio yields RGB
+        im = cv2.resize(im, (width, height))
+        frames.append(im[:, :, ::-1].copy())  # -> BGR
+    reader.close()
+    return frames, float(fps)
+
+
+def write_video(path: str, frames: List[np.ndarray], fps: float = 30.0,
+                bgr: bool = True) -> None:
+    """Write (H, W, 3) uint8 frames to an mp4 (imageio/ffmpeg)."""
+    import imageio
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    writer = imageio.get_writer(path, fps=fps)
+    for f in frames:
+        writer.append_data(f[:, :, ::-1] if bgr else f)
+    writer.close()

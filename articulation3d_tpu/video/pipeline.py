@@ -1,0 +1,159 @@
+"""Batched video inference pipeline — frames are the batch axis.
+
+The reference runs one frame per model call with per-frame CPU<->GPU
+round-trips (`tools/inference.py:215-243`, `utils/arti_vis.py:46-149`).
+Here N frames form one device batch through a single jitted program:
+
+    uint8 frames -> fused preprocess -> PlaneRCNN.inference ->
+    paste masks at image resolution -> depth-based plane-offset override
+
+and only the final (trimmed) detections come back to the host, where
+`create_instances`-style confidence filtering builds `FramePrediction`s for
+the tracker/optimizer.  Multi-chip: shard the frame batch over a data mesh
+(`parallel.make_mesh`) — weights replicated, no other change.
+
+The depth override reproduces `PlaneRCNN_Branch.process`
+(`utils/arti_vis.py:63-149`): EVAL intrinsics rays (f=571.623718), offset =
+mean of n . xyz inside each pasted mask, empty masks keep their plane, and
+the stored<->camera swaps happen on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.planercnn import PlaneRCNN
+from ..ops.mask_paste import paste_masks
+from ..ops.preprocess import preprocess_images
+from ..parallel import make_mesh, batch_sharding, replicate
+from ..structures import FramePrediction
+from ..utils.camera import get_k_inv_dot_xy_1_eval
+from ..utils.coords import camera_to_plane, plane_to_camera
+
+
+def override_plane_offsets(planes: jnp.ndarray, full_masks: jnp.ndarray,
+                           depth: jnp.ndarray, rays: jnp.ndarray) -> jnp.ndarray:
+    """Per-image depth-based plane offset re-estimation (jit-safe).
+
+    planes (D, 3) stored convention; full_masks (D, H, W) bool;
+    depth (H, W); rays (3, H, W) EVAL-intrinsics back-projection.
+    """
+    xyz = rays * depth[None]                                   # (3, H, W)
+    cam = plane_to_camera(planes)                               # (D, 3)
+    offset = jnp.linalg.norm(cam, axis=1)
+    normal = cam / jnp.maximum(offset, 1e-8)[:, None]
+    m = full_masks.astype(jnp.float32)
+    count = m.sum(axis=(1, 2))
+    ndotxyz = jnp.einsum("dc,chw->dhw", normal, xyz)
+    offset_new = (ndotxyz * m).sum(axis=(1, 2)) / jnp.maximum(count, 1.0)
+    new_cam = normal * offset_new[:, None]
+    new_planes = camera_to_plane(new_cam)
+    return jnp.where((count > 0)[:, None], new_planes, planes)
+
+
+def make_inference_step(config: Config, model: PlaneRCNN):
+    """Build the jitted batched step: (variables, uint8 BGR frames) -> device
+    outputs.  Variables are an argument (not a closure) so the weights don't
+    get baked into the compiled program as constants."""
+    h, w = config.input.height, config.input.width
+    mcfg = config.model
+    rays = jnp.asarray(get_k_inv_dot_xy_1_eval(h, w).reshape(3, h, w),
+                       jnp.float32)
+
+    @jax.jit
+    def step(variables, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        images = preprocess_images(
+            frames, config.input.pixel_mean, config.input.pixel_std,
+            height=h, width=w,
+            size_divisibility=config.input.size_divisibility)
+        out = model.apply(variables, images, method=PlaneRCNN.inference)
+        det = out["detections"]
+        result = {"boxes": det.boxes, "scores": det.scores,
+                  "classes": det.classes, "valid": det.valid}
+        if det.planes is not None:
+            result["planes"] = det.planes
+        if det.rot_axis is not None:
+            result["rot_axis"] = det.rot_axis
+            result["tran_axis"] = det.tran_axis
+        if det.masks is not None:
+            full = jax.vmap(lambda mk, bx, vl: paste_masks(
+                mk, bx, vl, h, w, threshold=mcfg.mask_head.mask_threshold,
+                nms=mcfg.mask_head.nms))(det.masks, det.boxes, det.valid)
+            result["full_masks"] = full
+        if "depth" in out:
+            result["depth"] = out["depth"]
+            if det.planes is not None and det.masks is not None:
+                result["planes"] = jax.vmap(
+                    lambda p, m, d: override_plane_offsets(p, m, d, rays))(
+                        result["planes"], full, out["depth"])
+        return result
+
+    return step
+
+
+class VideoPipeline:
+    """Host wrapper: list of frames -> per-frame `FramePrediction`s.
+
+    Replaces `PlaneRCNN_Branch` + `create_instances`
+    (`utils/arti_vis.py:46-194`) with batched device inference.
+    """
+
+    def __init__(self, config: Config, model: PlaneRCNN, variables,
+                 batch_size: int = 8, conf_threshold: float = 0.7,
+                 use_mesh: bool = False):
+        self.config = config
+        self.conf_threshold = conf_threshold
+        self.batch_size = batch_size
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            variables = replicate(self.mesh, variables)
+        self.variables = variables
+        self.step = make_inference_step(config, model)
+
+    def run(self, frames: Sequence[np.ndarray]) -> List[FramePrediction]:
+        """frames: (H, W, 3) uint8 BGR arrays -> trimmed FramePredictions."""
+        preds: List[FramePrediction] = []
+        depths: List[np.ndarray] = []
+        bs = self.batch_size
+        for start in range(0, len(frames), bs):
+            chunk = list(frames[start:start + bs])
+            n_real = len(chunk)
+            while len(chunk) < bs:          # static shapes: pad with repeats
+                chunk.append(chunk[-1])
+            batch = np.stack(chunk)
+            if self.mesh is not None:
+                batch = jax.device_put(batch, batch_sharding(self.mesh))
+            out = jax.tree_util.tree_map(np.asarray,
+                                         self.step(self.variables, batch))
+            for i in range(n_real):
+                preds.append(self._to_frame_prediction(out, i))
+                depths.append(out["depth"][i] if "depth" in out else None)
+        self.depths = depths
+        return preds
+
+    def _to_frame_prediction(self, out: Dict[str, np.ndarray],
+                             i: int) -> FramePrediction:
+        keep = out["valid"][i] & (out["scores"][i] > self.conf_threshold)
+        idx = np.nonzero(keep)[0]
+        d = out["boxes"].shape[1]
+        zeros = lambda *s: np.zeros(s, np.float32)
+        return FramePrediction(
+            boxes=out["boxes"][i][idx],
+            scores=out["scores"][i][idx],
+            classes=out["classes"][i][idx],
+            masks=(out["full_masks"][i][idx] if "full_masks" in out
+                   else zeros(len(idx), self.config.input.height,
+                              self.config.input.width)),
+            planes=(out["planes"][i][idx] if "planes" in out
+                    else zeros(len(idx), 3)),
+            rot_axis=(out["rot_axis"][i][idx] if "rot_axis" in out
+                      else zeros(len(idx), 3)),
+            tran_axis=(out["tran_axis"][i][idx] if "tran_axis" in out
+                       else zeros(len(idx), 2)),
+        )

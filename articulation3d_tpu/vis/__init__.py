@@ -1,0 +1,7 @@
+"""Visualization: instance/axis overlays + normal maps (cv2-based)."""
+
+from .visualizer import (ArtiVisualizer, draw_gt, draw_pred, get_normal_map,
+                         random_colors, vis_surface_normal)
+
+__all__ = ["ArtiVisualizer", "draw_pred", "draw_gt", "get_normal_map",
+           "vis_surface_normal", "random_colors"]

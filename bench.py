@@ -60,21 +60,23 @@ def main():
     model = PlaneRCNN(cfg)
     print(f"# init {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # params are an ARGUMENT, not a closure: closed-over arrays get baked
+    # into the HLO as constants (180MB of weights -> giant program)
     @jax.jit
-    def forward(images):
-        return model.apply(variables, images, method=PlaneRCNN.inference)
+    def forward(v, images):
+        return model.apply(v, images, method=PlaneRCNN.inference)
 
     rs = np.random.RandomState(0)
     images = jnp.asarray(rs.randn(BATCH, h, w, 3), jnp.float32)
 
     t0 = time.time()
-    out = forward(images)
+    out = forward(variables, images)
     jax.block_until_ready(out)
     print(f"# compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(STEPS):
-        out = forward(images)
+        out = forward(variables, images)
     jax.block_until_ready(out)
     dt = time.time() - t0
 
