@@ -136,7 +136,22 @@ def roi_align_level(feat: jnp.ndarray, boxes: jnp.ndarray, *,
         cnt = jnp.sum(ym_r[0]) * jnp.sum(xm_r[0])
         return s / jnp.maximum(cnt, 1.0)
 
-    return jax.vmap(per_roi)(yy, xx, y_mask, x_mask)
+    # chunked over ROIs with lax.map: a flat vmap materializes
+    # (N, P, S, P, S, C) gather buffers — ~6 GB at N=1000 per image on the
+    # box-head pooler — which blows past HBM.  Sequential chunks bound live
+    # memory to chunk_size ROIs while keeping each chunk wide enough to fill
+    # the VPU.
+    n = boxes.shape[0]
+    chunk = min(128, n)
+    pad = (-n) % chunk
+    if pad:
+        pad_spec = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        yy, xx, y_mask, x_mask = map(pad_spec, (yy, xx, y_mask, x_mask))
+    reshape = lambda a: a.reshape((-1, chunk) + a.shape[1:])
+    out = jax.lax.map(lambda args: jax.vmap(per_roi)(*args),
+                      tuple(map(reshape, (yy, xx, y_mask, x_mask))))
+    out = out.reshape((-1,) + out.shape[2:])
+    return out[:n]
 
 
 def assign_boxes_to_levels(boxes: jnp.ndarray, min_level: int = 2,

@@ -1,0 +1,171 @@
+"""Training orchestration: the reference `Trainer(DefaultTrainer)` rebuilt.
+
+Replaces d2's engine loop (`tools/train_net.py:23-69`) with an explicit
+host loop around the single jitted train step: data loading (DetectionLoader
+over registered datasets), periodic checkpointing (orbax, every
+`solver.checkpoint_period`), periodic evaluation (`test.eval_period`) via
+the dataset's registered evaluator type, loss logging, and optional
+data-parallel sharding over a device mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.catalog import get_dataset_dicts, get_metadata
+from ..data.mapper import DetectionLoader, PlaneRCNNMapper
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import (latest_checkpoint, load_checkpoint,
+                         load_torch_state_dict, port_detectron2_state_dict,
+                         save_checkpoint)
+from .optimizer import build_optimizer
+from .train_step import TrainState, create_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def build_evaluator(dataset_name: str, cfg: Config, output_dir: str):
+    """Evaluator dispatch by registered evaluator type (reference
+    `Trainer.build_evaluator`, `tools/train_net.py:25-33`)."""
+    etype = get_metadata(dataset_name).evaluator_type
+    if etype == "arti":
+        from ..evaluation import ArtiEvaluator
+        return ArtiEvaluator(dataset_name, cfg, distributed=False,
+                             output_dir=output_dir)
+    if etype == "mp3d":
+        from ..evaluation import ScannetEvaluator
+        return ScannetEvaluator(dataset_name, cfg, distributed=False,
+                                output_dir=output_dir)
+    raise NotImplementedError(etype)
+
+
+class Trainer:
+    """Host-side training driver around the jitted step."""
+
+    def __init__(self, cfg: Config, use_mesh: bool = True,
+                 max_instances: int = 20):
+        self.cfg = cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.model, self.state = create_train_state(cfg, rng)
+        self.tx = build_optimizer(cfg, self.state.params)
+        self._step_fn = jax.jit(make_train_step(cfg, self.model, self.tx),
+                                donate_argnums=(0,))
+        self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+
+        records: List[dict] = []
+        for name in cfg.datasets_train:
+            records.extend(get_dataset_dicts(name))
+        mapper = PlaneRCNNMapper(cfg, is_train=True,
+                                 max_instances=max_instances)
+        per_step = cfg.solver.ims_per_batch
+        self.loader = DetectionLoader(records, mapper, per_step, shuffle=True,
+                                      seed=cfg.seed)
+        self._base_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    # -- checkpointing ------------------------------------------------------
+    def resume_or_load(self, resume: bool = False) -> None:
+        w = self.cfg.weights
+        if resume:
+            path = latest_checkpoint(self.cfg.output_dir)
+            if path:
+                self.state = load_checkpoint(path, self.state)
+                logger.info("resumed from %s", path)
+                return
+        if w and (w.endswith(".pth") or w.endswith(".pkl")):
+            params, batch_stats, stats = port_detectron2_state_dict(
+                load_torch_state_dict(w), self.state.params,
+                self.state.batch_stats)
+            self.state = self.state._replace(params=params,
+                                             batch_stats=batch_stats)
+            logger.info("ported %s: %s", w, stats)
+        elif w:
+            path = latest_checkpoint(w) or w
+            self.state = load_checkpoint(path, self.state)
+            logger.info("loaded weights from %s", path)
+
+    # -- the loop -----------------------------------------------------------
+    def train(self, max_iter: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        max_iter = max_iter if max_iter is not None else cfg.solver.max_iter
+        start = int(np.asarray(self.state.step))
+        it = iter(self.loader)
+        t0 = time.time()
+        for step in range(start, max_iter):
+            batch = next(it)
+            batch = {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray)}
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self._step_fn(self.state, batch,
+                                                self._base_key)
+            if (step + 1) % 20 == 0 or step == start:
+                losses = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                logger.info("iter %d: total=%.4f (%.2f s/it) %s", step + 1,
+                            losses.pop("total_loss"), dt / max(step + 1 - start, 1),
+                            {k: round(v, 4) for k, v in losses.items()})
+            if (step + 1) % cfg.solver.checkpoint_period == 0:
+                save_checkpoint(cfg.output_dir, self.state, step + 1)
+            if cfg.test.eval_period > 0 and (step + 1) % cfg.test.eval_period == 0:
+                try:
+                    self.test()
+                except Exception as e:  # eval must not kill training
+                    logger.warning("eval failed: %s", e)
+        return self.state
+
+    # -- evaluation ---------------------------------------------------------
+    def test(self) -> Dict[str, Dict[str, float]]:
+        """Per-test-dataset inference + evaluator run (reference
+        `Trainer.test`, `tools/train_net.py:47-69`)."""
+        from ..video.pipeline import VideoPipeline
+        from ..utils.rle import rle_encode
+
+        results = {}
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        pipeline = VideoPipeline(self.cfg, self.model, variables,
+                                 batch_size=max(self.cfg.solver.ims_per_batch, 1),
+                                 conf_threshold=0.0)
+        for name in self.cfg.datasets_test:
+            evaluator = build_evaluator(name, self.cfg, self.cfg.output_dir)
+            evaluator.reset()
+            records = get_dataset_dicts(name)
+            mapper = PlaneRCNNMapper(self.cfg, is_train=False)
+            for rec in records:
+                sample = mapper(rec)
+                preds = pipeline.run([sample["images"].astype(np.uint8)])
+                p = preds[0]
+                instances = []
+                for i in range(len(p)):
+                    box = p.boxes[i]
+                    instances.append({
+                        "image_id": rec["image_id"],
+                        "category_id": int(p.classes[i]),
+                        "bbox": [float(box[0]), float(box[1]),
+                                 float(box[2] - box[0]), float(box[3] - box[1])],
+                        "score": float(p.scores[i]),
+                        "segmentation": rle_encode(
+                            p.masks[i].astype(np.uint8)),
+                    })
+                out = {
+                    "instances": instances,
+                    "pred_rot_axis": p.rot_axis,
+                    "pred_tran_axis": p.tran_axis,
+                    "pred_plane": p.planes,
+                    "depth": pipeline.depths[0],
+                }
+                evaluator.process(
+                    [{"image_id": rec["image_id"],
+                      "file_name": rec["file_name"],
+                      "depth": sample.get("gt_depth")}], [out])
+            results[name] = evaluator.evaluate()
+            logger.info("eval %s: %s", name, results[name])
+        return results

@@ -1,0 +1,113 @@
+"""End-to-end trainer test: synthetic dataset -> few SGD steps -> eval."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+
+from articulation3d_tpu.config import (Config, DepthHeadConfig, InputConfig,
+                                       ModelConfig, ROIHeadsConfig, RPNConfig,
+                                       SolverConfig, TestConfig)
+from articulation3d_tpu.data.catalog import (DatasetMetadata,
+                                             register_dataset)
+
+H, W = 128, 160
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """4 images with one axis-annotated box each, registered as a dataset."""
+    root = tmp_path_factory.mktemp("tinyds")
+    records = []
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        img = rs.randint(0, 255, (H, W, 3), np.uint8)
+        cv2.rectangle(img, (40, 30), (100, 90), (250, 250, 250), -1)
+        path = str(root / f"img_{i}.png")
+        cv2.imwrite(path, img)
+        records.append({
+            "image_id": f"img_{i}", "file_name": path,
+            "height": H, "width": W,
+            "annotations": [{
+                "bbox": [40, 30, 60, 60], "bbox_mode": 1, "category_id": 0,
+                "segmentation": [[40, 30, 100, 30, 100, 90, 40, 90]],
+                "plane": [0.0, 2.0, 0.0],
+                "rot_axis": [45, 10, 45, 120], "tran_axis": None,
+                "normal": [0.0, 0.0, 1.0],
+            }],
+        })
+    json_path = root / "cached_set_train.json"
+    json_path.write_text(json.dumps({
+        "info": {}, "categories": [{"id": 1, "name": "arti_rot"},
+                                   {"id": 2, "name": "arti_tran"}],
+        "data": records}))
+    meta = DatasetMetadata(
+        name="tiny_arti", json_file=str(json_path), image_root=str(root),
+        evaluator_type="arti",
+        thing_classes=["arti_rot", "arti_tran"],
+        thing_colors=[[0, 130, 200], [230, 25, 75]],
+        thing_dataset_id_to_contiguous_id={1: 0, 2: 1})
+    register_dataset("tiny_arti", lambda: records, meta)
+    return records
+
+
+def tiny_train_config(tmp_path):
+    model = ModelConfig(
+        rpn=RPNConfig(pre_nms_topk_test=32, post_nms_topk_test=32,
+                      pre_nms_topk_train=32, post_nms_topk_train=32),
+        roi_heads=ROIHeadsConfig(detections_per_image=4,
+                                 batch_size_per_image=8,
+                                 score_thresh_test=0.0),
+        depth_head=DepthHeadConfig(output_height=H, output_width=W),
+        depth_on=False,  # no gt depth in the tiny dataset
+        dtype="float32",
+    )
+    return Config(
+        model=model, input=InputConfig(height=H, width=W),
+        solver=SolverConfig(ims_per_batch=2, checkpoint_period=3,
+                            base_lr=1e-3, warmup_iters=2),
+        test=TestConfig(eval_period=0),
+        datasets_train=("tiny_arti",), datasets_test=("tiny_arti",),
+        output_dir=str(tmp_path / "exps"))
+
+
+def test_trainer_steps_and_checkpoint(tiny_dataset, tmp_path):
+    from articulation3d_tpu.train.trainer import Trainer
+    from articulation3d_tpu.train.checkpoint import latest_checkpoint
+
+    cfg = tiny_train_config(tmp_path)
+    trainer = Trainer(cfg, use_mesh=False, max_instances=4)
+    state0 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    state = trainer.train(max_iter=3)
+    assert int(np.asarray(state.step)) == 3
+    # params changed
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params, state0)
+    assert max(jax.tree_util.tree_leaves(changed)) > 0
+    # checkpoint written at step 3
+    ckpt = latest_checkpoint(cfg.output_dir)
+    assert ckpt is not None and ckpt.endswith("step_00000003")
+
+    # resume restores the step counter
+    trainer2 = Trainer(cfg, use_mesh=False, max_instances=4)
+    trainer2.resume_or_load(resume=True)
+    assert int(np.asarray(trainer2.state.step)) == 3
+
+
+def test_trainer_eval_runs(tiny_dataset, tmp_path):
+    from articulation3d_tpu.train.trainer import Trainer
+
+    cfg = tiny_train_config(tmp_path)
+    trainer = Trainer(cfg, use_mesh=False, max_instances=4)
+    results = trainer.test()
+    assert "tiny_arti" in results
+    res = results["tiny_arti"]
+    # recognition + the four articulation APs on arti_rot are present
+    assert "auroc" in res or "accuracy" in res
+    assert "bbox - arti_rot" in res
+    assert np.isfinite(res["bbox - arti_rot"])
