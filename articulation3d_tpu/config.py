@@ -229,6 +229,9 @@ class ModelConfig:
     depth_head: DepthHeadConfig = field(default_factory=DepthHeadConfig)
     # compute dtype for the conv trunk; params stay f32
     dtype: str = "bfloat16"
+    # ROIAlign implementation: "auto" = Pallas window-DMA kernel on TPU,
+    # XLA gather formulation elsewhere; or force "pallas" / "xla"
+    roi_pooler_impl: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -68,12 +68,25 @@ class PlaneRCNN(nn.Module):
         feats = self.fpn(self.backbone(images))
         return {k: v.astype(jnp.float32) for k, v in feats.items()}
 
-    def _pool(self, features, boxes, *, resolution, sampling_ratio, aligned):
-        """vmap multilevel ROIAlign over the batch.
+    def _pool(self, features, boxes, *, resolution, sampling_ratio, aligned,
+              training: bool = False):
+        """Multilevel ROIAlign over the batch.
 
         features: {p2..p5: (B, H, W, C)}, boxes: (B, N, 4) -> (B, N, P, P, C).
+        On TPU the Pallas window-DMA kernel runs (inference path); training
+        and CPU use the XLA gather formulation (autodiff-able).
         """
         roi_feats = [features[f] for f in self.config.model.roi_heads.in_features]
+        impl = self.config.model.roi_pooler_impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() == "tpu" and not training
+                    else "xla")
+        if impl == "pallas":
+            from ..ops.roi_align_pallas import multilevel_roi_align_pallas
+            return multilevel_roi_align_pallas(
+                roi_feats, boxes, strides=ROI_STRIDES,
+                output_size=resolution, sampling_ratio=sampling_ratio,
+                aligned=aligned)
 
         def per_image(feats, bxs):
             return multilevel_roi_align(
@@ -207,7 +220,7 @@ class PlaneRCNN(nn.Module):
         pooled = self._pool(feats, roi_boxes,
                             resolution=mcfg.box_head.pooler_resolution,
                             sampling_ratio=mcfg.box_head.pooler_sampling_ratio,
-                            aligned=True)
+                            aligned=True, training=True)
         scores, deltas = self.box_head(pooled.reshape(b * s, *pooled.shape[2:]))
 
         outputs = {
@@ -221,7 +234,7 @@ class PlaneRCNN(nn.Module):
             mp = self._pool(feats, roi_boxes,
                             resolution=mcfg.mask_head.pooler_resolution,
                             sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
-                            aligned=False)
+                            aligned=False, training=True)
             logits = self.mask_head(mp.reshape(b * s, *mp.shape[2:]))
             outputs["mask_logits"] = logits.reshape(b, s, *logits.shape[1:])
 
@@ -231,7 +244,7 @@ class PlaneRCNN(nn.Module):
             pp = self._pool(feats, roi_boxes,
                             resolution=mcfg.plane_head.pooler_resolution,
                             sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
-                            aligned=False)
+                            aligned=False, training=True)
             flat = pp.reshape(b * s, *pp.shape[2:])
             if mcfg.plane_on and "roi_heads.plane_head" not in mcfg.freeze:
                 outputs["plane_pred"] = self.plane_head(flat).reshape(b, s, -1)

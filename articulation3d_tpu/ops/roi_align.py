@@ -1,4 +1,4 @@
-"""ROIAlign for TPU as a pure-XLA gather/bilinear formulation.
+"""ROIAlign for TPU as flat row-gathers over a concatenated FPN pyramid.
 
 Re-implements the torchvision CUDA `roi_align` used by every pooler in the
 reference (`modeling/roi_heads/roi_heads.py:50-55,74-79`, detectron2
@@ -16,58 +16,176 @@ reference (`modeling/roi_heads/roi_heads.py:50-55,74-79`, detectron2
   * multi-level FPN pooling with detectron2's level assignment
     (`assign_boxes_to_levels`: floor(4 + log2(sqrt(area)/224))).
 
+TPU-native formulation (this is the hottest op in the model):
+
+  * every feature map is flattened to (H*W, C) rows and all levels are
+    CONCATENATED into one (sum HW, C) buffer, so each ROI samples exactly
+    once — at its assigned level — through per-sample flat indices with a
+    per-ROI level offset.  (A per-level pool + select computes 4x the work
+    and 2D (y, x)-indexed gathers lower to slow generic scatter/gather; flat
+    row gathers with a 256-wide innermost dim ride HBM bandwidth.)
+  * the 4 bilinear corners become one gather of shape (points, 4) -> rows,
+    combined with the bilinear weights in a single fused pass;
+  * out-of-range samples index a zero row appended at the end of the buffer
+    (no masking pass);
+  * ROIs are processed in `lax.map` chunks to bound live gather buffers
+    (a flat vmap at 1000 proposals x 784 samples x 256ch OOMs HBM).
+
 Everything is batched: boxes are fixed-capacity padded arrays, invalid ROIs
-produce zeros.  The per-level pooling runs on all ROIs and the result is
-selected by level mask — 4 small gathers beat dynamic partitioning on TPU.
+produce zeros.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _bilinear_gather(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Sample feat (H, W, C) at float coords y, x (...,) -> (..., C).
+def _sample_coords(boxes: jnp.ndarray, spatial_scale, output_size: int,
+                   sampling_ratio: int, aligned: bool, adaptive_cap: int
+                   ) -> Tuple[jnp.ndarray, ...]:
+    """Per-ROI sample coordinates and masks.
 
-    Exact torchvision `bilinear_interpolate` semantics:
-      * coordinates outside [-1, H] x [-1, W] contribute zero;
-      * coords in [-1, 0] clamp to 0; the high index saturates at H-1.
+    spatial_scale may be a scalar or a per-ROI (N,) array (multilevel).
+    Returns ys, xs (N, P, S) float coords plus y_mask, x_mask (N, P, S).
     """
-    H, W = feat.shape[0], feat.shape[1]
-    out_of_range = (y < -1.0) | (y > H) | (x < -1.0) | (x > W)
+    P = output_size
+    scale = jnp.asarray(spatial_scale, jnp.float32)
+    if scale.ndim == 0:
+        scale = jnp.broadcast_to(scale, boxes.shape[:1])
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[:, 0] * scale - offset
+    y1 = boxes[:, 1] * scale - offset
+    x2 = boxes[:, 2] * scale - offset
+    y2 = boxes[:, 3] * scale - offset
 
-    y = jnp.clip(y, 0.0, None)
-    x = jnp.clip(x, 0.0, None)
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:  # legacy: force malformed ROIs to be 1x1
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
 
-    y_low = jnp.minimum(y.astype(jnp.int32), H - 1)
-    x_low = jnp.minimum(x.astype(jnp.int32), W - 1)
-    y_high = jnp.minimum(y_low + 1, H - 1)
-    x_high = jnp.minimum(x_low + 1, W - 1)
-    # when y_low == H - 1 torchvision also snaps y to y_low
-    y = jnp.where(y.astype(jnp.int32) >= H - 1, y_low.astype(y.dtype), y)
-    x = jnp.where(x.astype(jnp.int32) >= W - 1, x_low.astype(x.dtype), x)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+
+    if sampling_ratio > 0:
+        S = sampling_ratio
+        n_sw = jnp.full(boxes.shape[:1], S, jnp.int32)
+        n_sh = jnp.full(boxes.shape[:1], S, jnp.int32)
+    else:
+        S = adaptive_cap
+        n_sw = jnp.clip(jnp.ceil(bin_w).astype(jnp.int32), 1, S)
+        n_sh = jnp.clip(jnp.ceil(bin_h).astype(jnp.int32), 1, S)
+
+    ph = jnp.arange(P, dtype=jnp.float32)
+    iy = jnp.arange(S, dtype=jnp.float32)
+
+    def coords(start, bin_sz, n_s):
+        frac = (iy[None, None, :] + 0.5) / n_s[:, None, None].astype(jnp.float32)
+        return (start[:, None, None]
+                + (ph[None, :, None] + frac) * bin_sz[:, None, None])
+
+    ys = coords(y1, bin_h, n_sh)                  # (N, P, S)
+    xs = coords(x1, bin_w, n_sw)
+    y_mask = (iy[None, None, :] < n_sh[:, None, None]).astype(jnp.float32)
+    x_mask = (iy[None, None, :] < n_sw[:, None, None]).astype(jnp.float32)
+    return ys, xs, y_mask, x_mask
+
+
+def _corner_indices_weights(ys, xs, heights, widths, row_offsets, row_stride):
+    """Bilinear corner flat indices + weights for mixed-level sampling.
+
+    ys, xs: (N, P, S); heights/widths/row_offsets: per-ROI (N,) int.
+    Returns idx (N, P, S, P, S, 4) int32 into the flat row buffer (the last
+    row is the zero row), and w (N, P, S, P, S, 4) float32.
+    """
+    H = heights[:, None, None].astype(jnp.float32)
+    W = widths[:, None, None].astype(jnp.float32)
+    Hi = heights[:, None, None]
+    Wi = widths[:, None, None]
+
+    oor_y = (ys < -1.0) | (ys > H)
+    oor_x = (xs < -1.0) | (xs > W)
+    y = jnp.clip(ys, 0.0, None)
+    x = jnp.clip(xs, 0.0, None)
+
+    y_low = jnp.minimum(y.astype(jnp.int32), Hi - 1)
+    x_low = jnp.minimum(x.astype(jnp.int32), Wi - 1)
+    y_high = jnp.minimum(y_low + 1, Hi - 1)
+    x_high = jnp.minimum(x_low + 1, Wi - 1)
+    y = jnp.where(y.astype(jnp.int32) >= Hi - 1, y_low.astype(y.dtype), y)
+    x = jnp.where(x.astype(jnp.int32) >= Wi - 1, x_low.astype(x.dtype), x)
 
     ly = y - y_low.astype(y.dtype)
     lx = x - x_low.astype(x.dtype)
     hy = 1.0 - ly
     hx = 1.0 - lx
 
-    v1 = feat[y_low, x_low]
-    v2 = feat[y_low, x_high]
-    v3 = feat[y_high, x_low]
-    v4 = feat[y_high, x_high]
+    # broadcast y samples against x samples: (N, P, S, P, S)
+    def by(a):  # y-like (N, P, S) -> (N, P, S, 1, 1)
+        return a[:, :, :, None, None]
 
-    w1 = (hy * hx)[..., None]
-    w2 = (hy * lx)[..., None]
-    w3 = (ly * hx)[..., None]
-    w4 = (ly * lx)[..., None]
+    def bx(a):  # x-like (N, P, S) -> (N, 1, 1, P, S)
+        return a[:, None, None, :, :]
 
-    out = w1 * v1 + w2 * v2 + w3 * v3 + w4 * v4
-    return jnp.where(out_of_range[..., None], 0.0, out)
+    off = row_offsets[:, None, None, None, None]
+    stride = row_stride[:, None, None, None, None]
+    oor = by(oor_y) | bx(oor_x)
+
+    i1 = off + by(y_low) * stride + bx(x_low)
+    i2 = off + by(y_low) * stride + bx(x_high)
+    i3 = off + by(y_high) * stride + bx(x_low)
+    i4 = off + by(y_high) * stride + bx(x_high)
+    idx = jnp.stack([i1, i2, i3, i4], axis=-1)
+
+    w1 = by(hy) * bx(hx)
+    w2 = by(hy) * bx(lx)
+    w3 = by(ly) * bx(hx)
+    w4 = by(ly) * bx(lx)
+    w = jnp.stack([w1, w2, w3, w4], axis=-1)
+    w = jnp.where(oor[..., None], 0.0, w)
+    return idx, w
+
+
+def _gather_pool(flat_rows: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
+                 y_mask: jnp.ndarray, x_mask: jnp.ndarray,
+                 chunk: int = 128) -> jnp.ndarray:
+    """Gather corner rows, bilinear-combine, average bins (chunked).
+
+    flat_rows: (R+1, C) with a zero row last; idx/w: (N, P, S, P, S, 4);
+    masks (N, P, S).  Returns (N, P, P, C).
+    """
+    n = idx.shape[0]
+    P, S = idx.shape[1], idx.shape[2]
+    c = flat_rows.shape[1]
+
+    def chunk_fn(args):
+        idx_c, w_c, ym_c, xm_c = args                  # (K, P,S,P,S,4), ...
+        k = idx_c.shape[0]
+        sw = ym_c[:, :, :, None, None] * xm_c[:, None, None, :, :]
+        # accumulate corner-by-corner: keeps the live gather buffer at
+        # (K, P, S, P, S, C) instead of stacking a 4x corner axis
+        pooled = jnp.zeros((k, P, P, c), jnp.float32)
+        for corner in range(4):
+            rows = flat_rows[idx_c[..., corner].reshape(-1)]
+            rows = rows.reshape(k, P, S, P, S, c).astype(jnp.float32)
+            wgt = (w_c[..., corner] * sw)[..., None]
+            pooled = pooled + jnp.sum(rows * wgt, axis=(2, 4))
+        cnt = (jnp.sum(ym_c[:, 0, :], axis=1)
+               * jnp.sum(xm_c[:, 0, :], axis=1))               # (K,)
+        return pooled / jnp.maximum(cnt, 1.0)[:, None, None, None]
+
+    pad = (-n) % chunk
+    if pad:
+        padf = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        idx, w, y_mask, x_mask = map(padf, (idx, w, y_mask, x_mask))
+    resh = lambda a: a.reshape((-1, chunk) + a.shape[1:])
+    out = jax.lax.map(chunk_fn, tuple(map(resh, (idx, w, y_mask, x_mask))))
+    return out.reshape((-1, P, P, c))[:n]
 
 
 def roi_align_level(feat: jnp.ndarray, boxes: jnp.ndarray, *,
@@ -84,74 +202,22 @@ def roi_align_level(feat: jnp.ndarray, boxes: jnp.ndarray, *,
       sampling_ratio: samples per bin per axis; 0 = adaptive (capped).
       aligned: half-pixel correction (ROIAlignV2).
     """
-    P = output_size
-    offset = 0.5 if aligned else 0.0
-    x1 = boxes[:, 0] * spatial_scale - offset
-    y1 = boxes[:, 1] * spatial_scale - offset
-    x2 = boxes[:, 2] * spatial_scale - offset
-    y2 = boxes[:, 3] * spatial_scale - offset
-
-    roi_w = x2 - x1
-    roi_h = y2 - y1
-    if not aligned:  # legacy: force malformed ROIs to be 1x1
-        roi_w = jnp.maximum(roi_w, 1.0)
-        roi_h = jnp.maximum(roi_h, 1.0)
-
-    bin_w = roi_w / P  # (N,)
-    bin_h = roi_h / P
-
-    if sampling_ratio > 0:
-        S = sampling_ratio
-        n_sw = jnp.full(boxes.shape[:1], S, jnp.int32)
-        n_sh = jnp.full(boxes.shape[:1], S, jnp.int32)
-    else:
-        S = adaptive_cap
-        n_sw = jnp.clip(jnp.ceil(bin_w).astype(jnp.int32), 1, S)
-        n_sh = jnp.clip(jnp.ceil(bin_h).astype(jnp.int32), 1, S)
-
-    # sample coordinates: y[n, ph, iy] = y1 + (ph + (iy + .5)/n_sh) * bin_h
-    ph = jnp.arange(P, dtype=jnp.float32)          # (P,)
-    iy = jnp.arange(S, dtype=jnp.float32)          # (S,)
-
-    def coords(start, bin_sz, n_s):
-        # (N, P, S)
-        frac = (iy[None, None, :] + 0.5) / n_s[:, None, None].astype(jnp.float32)
-        return (start[:, None, None]
-                + (ph[None, :, None] + frac) * bin_sz[:, None, None])
-
-    ys = coords(y1, bin_h, n_sh)                  # (N, P, S)
-    xs = coords(x1, bin_w, n_sw)                  # (N, P, S)
-    y_mask = (iy[None, None, :] < n_sh[:, None, None]).astype(jnp.float32)
-    x_mask = (iy[None, None, :] < n_sw[:, None, None]).astype(jnp.float32)
-
-    # full sample grid (N, P, S, P, S)
-    yy = ys[:, :, :, None, None]
-    xx = xs[:, None, None, :, :]
-    yy, xx = jnp.broadcast_arrays(yy, xx)
-
-    def per_roi(yy_r, xx_r, ym_r, xm_r):
-        vals = _bilinear_gather(feat, yy_r, xx_r)          # (P,S,P,S,C)
-        w = (ym_r[:, :, None, None] * xm_r[None, None, :, :])[..., None]
-        s = jnp.sum(vals * w, axis=(1, 3))                  # (P,P,C)
-        cnt = jnp.sum(ym_r[0]) * jnp.sum(xm_r[0])
-        return s / jnp.maximum(cnt, 1.0)
-
-    # chunked over ROIs with lax.map: a flat vmap materializes
-    # (N, P, S, P, S, C) gather buffers — ~6 GB at N=1000 per image on the
-    # box-head pooler — which blows past HBM.  Sequential chunks bound live
-    # memory to chunk_size ROIs while keeping each chunk wide enough to fill
-    # the VPU.
+    h, w, c = feat.shape
     n = boxes.shape[0]
-    chunk = min(128, n)
-    pad = (-n) % chunk
-    if pad:
-        pad_spec = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-        yy, xx, y_mask, x_mask = map(pad_spec, (yy, xx, y_mask, x_mask))
-    reshape = lambda a: a.reshape((-1, chunk) + a.shape[1:])
-    out = jax.lax.map(lambda args: jax.vmap(per_roi)(*args),
-                      tuple(map(reshape, (yy, xx, y_mask, x_mask))))
-    out = out.reshape((-1,) + out.shape[2:])
-    return out[:n]
+    flat = jnp.concatenate([feat.reshape(h * w, c),
+                            jnp.zeros((1, c), feat.dtype)], axis=0)
+    ys, xs, y_mask, x_mask = _sample_coords(
+        boxes, spatial_scale, output_size, sampling_ratio, aligned,
+        adaptive_cap)
+    heights = jnp.full((n,), h, jnp.int32)
+    widths = jnp.full((n,), w, jnp.int32)
+    offsets = jnp.zeros((n,), jnp.int32)
+    idx, wgt = _corner_indices_weights(ys, xs, heights, widths, offsets,
+                                       widths)
+    # out-of-range corners carry weight 0; point them at the zero row anyway
+    idx = jnp.where(wgt > 0, idx, h * w)
+    idx = jnp.clip(idx, 0, h * w)
+    return _gather_pool(flat, idx, wgt, y_mask, x_mask).astype(feat.dtype)
 
 
 def assign_boxes_to_levels(boxes: jnp.ndarray, min_level: int = 2,
@@ -171,20 +237,38 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
                          min_level: int = 2) -> jnp.ndarray:
     """FPN ROIAlign over levels p2..p5 for one image.
 
+    Each ROI is sampled ONCE, at its assigned level, via flat indices into
+    the concatenated level pyramid.
+
     Args:
       features: list of (H_l, W_l, C) maps ordered fine->coarse.
       boxes: (N, 4) padded boxes.
     Returns:
       (N, P, P, C) pooled features; padded/degenerate ROIs yield zeros.
     """
+    c = features[0].shape[-1]
+    n = boxes.shape[0]
     levels = assign_boxes_to_levels(boxes, min_level=min_level,
                                     max_level=min_level + len(features) - 1)
-    out = None
-    for i, feat in enumerate(features):
-        pooled = roi_align_level(
-            feat, boxes, spatial_scale=1.0 / strides[i],
-            output_size=output_size, sampling_ratio=sampling_ratio,
-            aligned=aligned)
-        sel = (levels == (min_level + i))[:, None, None, None]
-        out = jnp.where(sel, pooled, 0.0) if out is None else out + jnp.where(sel, pooled, 0.0)
-    return out
+    lvl_idx = levels - min_level                                   # (N,)
+
+    hs = np.array([f.shape[0] for f in features], np.int32)
+    ws = np.array([f.shape[1] for f in features], np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)])
+    total = int(offs[-1])
+    flat = jnp.concatenate(
+        [f.reshape(-1, c) for f in features] + [jnp.zeros((1, c), features[0].dtype)],
+        axis=0)                                                    # (total+1, C)
+
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl_idx]
+    heights = jnp.asarray(hs)[lvl_idx]
+    widths = jnp.asarray(ws)[lvl_idx]
+    row_offsets = jnp.asarray(offs[:-1], jnp.int32)[lvl_idx]
+
+    ys, xs, y_mask, x_mask = _sample_coords(
+        boxes, scales, output_size, sampling_ratio, aligned, adaptive_cap=4)
+    idx, wgt = _corner_indices_weights(ys, xs, heights, widths, row_offsets,
+                                       widths)
+    idx = jnp.where(wgt > 0, idx, total)
+    idx = jnp.clip(idx, 0, total)
+    return _gather_pool(flat, idx, wgt, y_mask, x_mask).astype(features[0].dtype)

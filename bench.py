@@ -47,7 +47,7 @@ def main():
     init_cfg = cfg.replace(
         input=dataclasses.replace(cfg.input, height=128, width=160),
         model=dataclasses.replace(
-            cfg.model, dtype="float32",
+            cfg.model, dtype="float32", roi_pooler_impl="xla",
             rpn=dataclasses.replace(cfg.model.rpn, pre_nms_topk_test=64,
                                     post_nms_topk_test=64),
             roi_heads=dataclasses.replace(cfg.model.roi_heads,
@@ -66,19 +66,29 @@ def main():
     def forward(v, images):
         return model.apply(v, images, method=PlaneRCNN.inference)
 
+    # inputs pre-placed on device: this benchmarks CHIP throughput; the dev
+    # tunnel's ~3 MB/s host<->device path is not part of the serving design
     rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.randn(BATCH, h, w, 3), jnp.float32)
+    dev = jax.devices()[0]
+    batches = [jax.device_put(jnp.asarray(rs.randn(BATCH, h, w, 3),
+                                          jnp.float32), dev)
+               for _ in range(4)]
+    jax.block_until_ready(batches)
 
     t0 = time.time()
-    out = forward(variables, images)
+    out = forward(variables, batches[0])
     jax.block_until_ready(out)
     print(f"# compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # forced host readback per step: distinct inputs + a value dependency on
+    # the output defeat any async-dispatch or caching shortcuts
+    checksum = 0.0
     t0 = time.time()
-    for _ in range(STEPS):
-        out = forward(variables, images)
-    jax.block_until_ready(out)
+    for i in range(STEPS):
+        out = forward(variables, batches[i % len(batches)])
+        checksum += float(np.asarray(out["detections"].scores).sum())
     dt = time.time() - t0
+    print(f"# checksum {checksum:.4f}", file=sys.stderr)
 
     fps = BATCH * STEPS / dt
     print(json.dumps({
