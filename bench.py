@@ -80,6 +80,17 @@ def main():
     jax.block_until_ready(out)
     print(f"# compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # WARMUP every input buffer with one execute + host readback.  On the
+    # axon remote platform device_put is lazy: the bytes stream over the
+    # ~1 MB/s dev tunnel at first *use*, so without this each timed step
+    # would pay ~20-30s of tunnel transfer (the round-1 bench reported
+    # 0.23 f/s for a program that actually runs at ~49 f/s).
+    t0 = time.time()
+    for b in batches:
+        w_out = forward(variables, b)
+        float(np.asarray(w_out["detections"].scores).sum())
+    print(f"# warmup all buffers {time.time() - t0:.1f}s", file=sys.stderr)
+
     # forced host readback per step: distinct inputs + a value dependency on
     # the output defeat any async-dispatch or caching shortcuts
     checksum = 0.0
