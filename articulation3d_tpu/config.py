@@ -158,6 +158,18 @@ class AxisHeadConfig:
 
 
 @dataclass(frozen=True)
+class RefineHeadConfig:
+    """NVIDIA-PlaneRCNN mask refinement network
+    (reference `modeling/refine_net/refine_head.py:25-290`)."""
+
+    height: int = 192             # internal resolution (refine_head.py:258)
+    width: int = 256
+    max_depth: float = 10.0       # planeXYZModule clamp (refine_head.py:192)
+    focal_length: float = 571.623718  # get_ranges default (refine_head.py:167)
+    loss_weight: float = 1.0
+
+
+@dataclass(frozen=True)
 class DepthHeadConfig:
     """Full-image FPN depth decoder
     (reference `modeling/depth_net/depth_head.py:49-103`)."""
@@ -227,6 +239,7 @@ class ModelConfig:
     plane_head: PlaneHeadConfig = field(default_factory=PlaneHeadConfig)
     axis_head: AxisHeadConfig = field(default_factory=AxisHeadConfig)
     depth_head: DepthHeadConfig = field(default_factory=DepthHeadConfig)
+    refine_head: RefineHeadConfig = field(default_factory=RefineHeadConfig)
     # compute dtype for the conv trunk; params stay f32
     dtype: str = "bfloat16"
     # ROIAlign implementation: "auto" = Pallas window-DMA kernel on TPU,

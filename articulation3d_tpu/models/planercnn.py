@@ -59,6 +59,9 @@ class PlaneRCNN(nn.Module):
             self.axis_head = AxisHead(cfg.axis_head, dtype=dtype)
         if cfg.depth_on:
             self.depth_head = DepthHead(cfg.depth_head, dtype=dtype)
+        if cfg.refine_on:
+            from .refine_head import RefineHead
+            self.refine_head = RefineHead(cfg.refine_head)
 
     # ------------------------------------------------------------------ #
     # shared feature extraction
@@ -189,7 +192,50 @@ class PlaneRCNN(nn.Module):
         }
         if mcfg.depth_on:
             result["depth"] = self.depth_head(feats, train=False)
+
+        if mcfg.refine_on and mcfg.mask_on and mcfg.plane_on and mcfg.depth_on:
+            # reference eval path with REFINE_ON (planercnn.py:178-181):
+            # postprocess with mask_threshold=-1 + box_score_threshold=0.1,
+            # then the refine head overwrites pred_masks / pred_plane.
+            from .refine_head import refine_inference_masks
+            refined = self._refine(images, result["detections"],
+                                   result["depth"])
+            det = result["detections"]
+            full = jax.vmap(
+                lambda lg, vl: refine_inference_masks(lg, vl, h, w))(
+                    refined["logits"], refined["valid"])
+            result["full_masks"] = full
+            result["detections"] = Detections(
+                boxes=det.boxes, scores=det.scores, classes=det.classes,
+                valid=det.valid, masks=det.masks,
+                planes=refined["plane_params"],
+                rot_axis=det.rot_axis, tran_axis=det.tran_axis)
         return result
+
+    def _refine(self, images: jnp.ndarray, dets: Detections,
+                depth: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Shared refine pass: paste soft masks at image res (the reference's
+        mask_threshold=-1 postprocess, planercnn.py:113,179), gate by the
+        0.1 box-score threshold, run the refine head per image."""
+        from ..ops.mask_paste import paste_masks
+
+        cfg = self.config
+        mcfg = cfg.model
+        h, w = images.shape[1:3]
+        valid = dets.valid & (dets.scores > cfg.test.box_score_threshold)
+        soft = jax.vmap(lambda mk, bx, vl: paste_masks(
+            mk, bx, vl, h, w, threshold=-1.0,
+            nms=mcfg.mask_head.nms))(dets.masks, dets.boxes, valid)
+        # the refine head consumes the RAW 0..255 image (refine_head.py:255);
+        # preprocessing is linear so invert it instead of threading raw frames
+        mean = jnp.asarray(cfg.input.pixel_mean, images.dtype)
+        std = jnp.asarray(cfg.input.pixel_std, images.dtype)
+        raw = images * std + mean
+        logits, plane_params = jax.vmap(
+            lambda im, mk, pl, dp, vl: self.refine_head(im, mk, pl, dp, vl))(
+                raw, soft, dets.planes, depth, valid)
+        return {"logits": logits, "plane_params": plane_params,
+                "soft_masks": soft, "valid": valid}
 
     # ------------------------------------------------------------------ #
     # training forward: raw outputs for the loss module
@@ -255,6 +301,47 @@ class PlaneRCNN(nn.Module):
 
         if mcfg.depth_on and "depth_head" not in mcfg.freeze:
             outputs["depth_pred"] = self.depth_head(feats, train=True)
+
+        if mcfg.refine_on and mcfg.mask_on and mcfg.plane_on and mcfg.depth_on:
+            # reference training with REFINE_ON runs the full detection
+            # cascade no-grad on the sampled proposals
+            # (roi_heads.py:104-112), postprocesses with mask_threshold=-1 /
+            # box_score_threshold=0.1 (planercnn.py:111-114), and feeds the
+            # refine head (which alone takes gradients, plus the depth path
+            # through the plane-offset recompute).
+            sg = jax.lax.stop_gradient
+
+            def per_image(sc, dl, pb, pv):
+                return fast_rcnn_inference_single(
+                    sc, dl, pb, pv, image_height=h, image_width=w,
+                    cfg=mcfg.roi_heads,
+                    bbox_reg_weights=mcfg.box_head.bbox_reg_weights)
+
+            dd = jax.vmap(per_image)(
+                sg(outputs["box_scores"]), sg(outputs["box_deltas"]),
+                sg(roi_boxes), rois.is_sampled)
+            nd = dd["boxes"].shape[1]
+            mp = self._pool(feats, dd["boxes"],
+                            resolution=mcfg.mask_head.pooler_resolution,
+                            sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
+                            aligned=False, training=True)
+            mlog = self.mask_head(sg(mp.reshape(b * nd, *mp.shape[2:])))
+            mprob = jax.nn.sigmoid(mlog)[..., 0].reshape(
+                b, nd, *mlog.shape[1:3])
+            pp = self._pool(feats, dd["boxes"],
+                            resolution=mcfg.plane_head.pooler_resolution,
+                            sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
+                            aligned=False, training=True)
+            planes = self.plane_head(
+                sg(pp.reshape(b * nd, *pp.shape[2:]))).reshape(b, nd, -1)
+            depth_pred = outputs.get("depth_pred")
+            if depth_pred is None:  # depth head frozen: predict without grads
+                depth_pred = sg(self.depth_head(feats, train=False))
+            dets = Detections(boxes=dd["boxes"], scores=dd["scores"],
+                              classes=dd["classes"], valid=dd["valid"],
+                              masks=sg(mprob), planes=sg(planes))
+            refined = self._refine(images, dets, depth_pred)
+            outputs["refine"] = refined
         return outputs, rois
 
 

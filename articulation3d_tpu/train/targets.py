@@ -312,6 +312,18 @@ def detection_losses(outputs: Dict, rois: SampledROIs, gt: Dict,
         losses["loss_tran_axis"] = (acfg.loss_weight *
                                     jnp.sum(jnp.where(tvalid[:, None], tl, 0.0)) / n_t)
 
+    # ---- refine head ----------------------------------------------------
+    if "refine" in outputs:
+        from ..models.refine_head import refine_loss_single
+
+        r = outputs["refine"]
+        per_image = jax.vmap(refine_loss_single)(
+            r["logits"], gt["masks"], gt["valid"], r["soft_masks"],
+            r["valid"])
+        # the reference SUMS the per-image losses (refine_head.py:242,278)
+        losses["refine_loss"] = (mcfg.refine_head.loss_weight *
+                                 jnp.sum(per_image))
+
     # ---- depth ----------------------------------------------------------
     if "depth_pred" in outputs:
         pred = outputs["depth_pred"]

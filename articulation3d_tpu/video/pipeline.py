@@ -81,7 +81,11 @@ def make_inference_step(config: Config, model: PlaneRCNN):
         if det.rot_axis is not None:
             result["rot_axis"] = det.rot_axis
             result["tran_axis"] = det.tran_axis
-        if det.masks is not None:
+        if "full_masks" in out:
+            # refine head already produced full-resolution masks
+            full = out["full_masks"] >= 0.5
+            result["full_masks"] = full
+        elif det.masks is not None:
             full = jax.vmap(lambda mk, bx, vl: paste_masks(
                 mk, bx, vl, h, w, threshold=mcfg.mask_head.mask_threshold,
                 nms=mcfg.mask_head.nms))(det.masks, det.boxes, det.valid)
