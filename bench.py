@@ -28,7 +28,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_FPS_ESTIMATE = 5.0   # reference batch-1 per-frame GPU loop, see docstring
-BATCH = 8                # frames per device batch (video frames = batch axis)
+BATCH = 32               # frames per device batch (video frames = batch axis);
+                         # measured sweep on v5e: B=8 48 f/s, B=16 65, B=32 76
 STEPS = 10
 
 
