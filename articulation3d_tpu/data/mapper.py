@@ -217,3 +217,49 @@ class DetectionLoader:
             if not self.shuffle:
                 return
             e += 1
+
+
+class PrefetchLoader:
+    """Background-thread prefetch around any batch iterable.
+
+    The reference overlaps input work with compute via 4 dataloader worker
+    processes (`config/config.yaml:5` DATALOADER.NUM_WORKERS).  Here a
+    single daemon thread runs the mapper (cv2 imread + rasterize) while the
+    device executes the previous step, with a bounded queue for backpressure.
+
+    Threads suffice (vs processes): the heavy ops release the GIL inside
+    cv2/numpy, and the consumer is device-bound.
+    """
+
+    def __init__(self, loader, depth: int = 3):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item

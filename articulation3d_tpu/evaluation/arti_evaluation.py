@@ -362,6 +362,14 @@ class ArtiEvaluator:
 
         results = OrderedDict()
         if "instances" in predictions[0]:
+            # standard COCO bbox/segm mAP alongside the arti APs (reference
+            # `_eval_predictions`, arti_evaluation.py:226-229)
+            from .coco_eval import evaluate_coco_map
+            try:
+                results.update(evaluate_coco_map(predictions, self._coco_api,
+                                                 metadata=self._metadata))
+            except Exception as e:  # mAP must not kill the arti metrics
+                logger.warning("coco mAP failed: %s", e)
             results.update(evaluate_for_recognition(
                 predictions, self._coco_api, self._metadata, self._filter_iou))
             if any(k in predictions[0] for k in
@@ -369,4 +377,10 @@ class ArtiEvaluator:
                 results.update(evaluate_for_arti_axis(
                     predictions, self._coco_api, self._metadata,
                     self._filter_iou))
+        if results:
+            from ..utils.tables import create_small_table
+            finite = {k: v for k, v in results.items()
+                      if isinstance(v, (int, float))}
+            logger.info("ArtiEvaluator results:\n%s",
+                        create_small_table(finite))
         return results

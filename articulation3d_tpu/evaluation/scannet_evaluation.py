@@ -270,4 +270,10 @@ class ScannetEvaluator:
         if "depth_l1_dist" in predictions[0]:
             results["depth_l1_dist"] = float(np.mean(
                 [p["depth_l1_dist"] for p in predictions]))
+        if results:
+            from ..utils.tables import create_small_table
+            finite = {k: v for k, v in results.items()
+                      if isinstance(v, (int, float))}
+            logger.info("ScannetEvaluator results:\n%s",
+                        create_small_table(finite))
         return results

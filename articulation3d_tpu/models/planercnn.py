@@ -212,6 +212,29 @@ class PlaneRCNN(nn.Module):
                 rot_axis=det.rot_axis, tran_axis=det.tran_axis)
         return result
 
+    def inference_probe(self, images: jnp.ndarray) -> Dict[str, Any]:
+        """Inference with per-stage intermediates exposed, for the golden
+        parity harness (`tools/compare_goldens.py`): FPN features p2-p6,
+        RPN proposals, final detections, per-head outputs, depth.
+
+        Mirrors the reference eval stages
+        (`modeling/meta_arch/planercnn.py:148-184`).
+        """
+        cfg = self.config
+        h, w = cfg.input.height, cfg.input.width
+        feats = self.features(images)
+        proposals, _ = self.rpn(feats, image_height=h, image_width=w,
+                                training=False)
+        result = self.inference(images)
+        return {
+            "features": feats,
+            "proposal_boxes": proposals["boxes"],
+            "proposal_logits": proposals["scores"],
+            "proposal_valid": proposals["valid"],
+            "detections": result["detections"],
+            "depth": result.get("depth"),
+        }
+
     def _refine(self, images: jnp.ndarray, dets: Detections,
                 depth: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Shared refine pass: paste soft masks at image res (the reference's

@@ -28,9 +28,12 @@ on the tiled x dim must be 8-aligned: x origins round down to 8, absorbed by
 the 40-wide x tiles.
 
 Known approximation: an ROI beyond ~5:1 aspect at the maximum size for its
-level has tail samples outside even the 2x2 window; their weights are
-dropped (the averaging denominator still counts them).  Correctly-assigned
-detections never hit this.
+level has tail samples outside even the 2x2 window; those samples clamp to
+the window edge (nearest-cell approximation — see the defensive clamp in
+`_separable_weights`).  ROIs within the FPN level-assignment contract
+(sqrt-area based, `assign_boxes_to_levels`) up to 5:1 aspect are covered
+exactly — property-tested in `tests/test_pallas_roi.py` via a CPU emulation
+of the kernel's separable matmul math.
 
 Gradients: training uses the XLA formulation (autodiff'd); this kernel
 serves the inference path.
@@ -76,6 +79,12 @@ def _separable_weights(coord, mask, n_s, size, origin, win_n):
 
     rel_lo = y_low - origin[:, None, None]            # (N, P, S)
     rel_hi = y_high - origin[:, None, None]
+    # DEFENSIVE CLAMP for >5:1-aspect ROIs at max level size: tail samples
+    # past the window snap to the window edge (nearest-cell approximation)
+    # instead of silently dropping their weight.  In-window ROIs are
+    # unaffected: their rel indices are already in range.
+    rel_lo = jnp.clip(rel_lo, 0, win_n - 1)
+    rel_hi = jnp.clip(rel_hi, 0, win_n - 1)
     win_ids = jnp.arange(win_n, dtype=jnp.int32)
     one_lo = (rel_lo[..., None] == win_ids).astype(jnp.float32)
     one_hi = (rel_hi[..., None] == win_ids).astype(jnp.float32)
@@ -127,15 +136,13 @@ def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
         out_ref[0] += o.reshape(p, p, c)                  # [q, p, c]
 
 
-def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
-                                boxes: jnp.ndarray, *,
-                                strides: Sequence[int], output_size: int,
-                                sampling_ratio: int, aligned: bool,
-                                min_level: int = 2) -> jnp.ndarray:
-    """Batched FPN ROIAlign: features (B, H_l, W_l, C) x4, boxes (B, N, 4)
-    -> (B, N, P, P, C) float32."""
+def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
+             strides: Sequence[int], output_size: int, sampling_ratio: int,
+             aligned: bool, min_level: int = 2):
+    """Host-side (cheap XLA) prologue shared by the kernel launch and the
+    CPU emulation in tests: level assignment, window origins/extents, and
+    the per-ROI separable weight matrices."""
     bsz, n = boxes.shape[:2]
-    c = features[0].shape[-1]
     p = output_size
     flat_boxes = boxes.reshape(bsz * n, 4)
     total = bsz * n
@@ -189,6 +196,27 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     rx = jnp.swapaxes(rx.reshape(total, p, N_TILES, TILE_X), 1, 2)
 
     batch_ids = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+    return dict(levels=levels, batch_ids=batch_ids, y0=y0, x0=x0,
+                nty=nty, ntx=ntx, ry=ry, rx=rx, padded=padded)
+
+
+def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
+                                boxes: jnp.ndarray, *,
+                                strides: Sequence[int], output_size: int,
+                                sampling_ratio: int, aligned: bool,
+                                min_level: int = 2) -> jnp.ndarray:
+    """Batched FPN ROIAlign: features (B, H_l, W_l, C) x4, boxes (B, N, 4)
+    -> (B, N, P, P, C) float32."""
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    p = output_size
+    total = bsz * n
+    pr = _prepare(features, boxes, strides=strides, output_size=output_size,
+                  sampling_ratio=sampling_ratio, aligned=aligned,
+                  min_level=min_level)
+    levels, batch_ids = pr["levels"], pr["batch_ids"]
+    y0, x0, nty, ntx = pr["y0"], pr["x0"], pr["nty"], pr["ntx"]
+    ry, rx, padded = pr["ry"], pr["rx"], pr["padded"]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

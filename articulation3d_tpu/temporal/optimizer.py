@@ -318,6 +318,38 @@ def _axis_consistency(segments: np.ndarray) -> List[float]:
     return scores
 
 
+def check_monotonic(preds: Sequence, opt_preds: Sequence, planes: List[Dict],
+                    method: str = "", frames=None
+                    ) -> Tuple[List[List[float]], List[List[float]]]:
+    """Normal-bundle planarity diagnostic (reference `check_monotonic`,
+    `utils/opt_utils.py:1068-1152`).
+
+    Per track: collect each frame's predicted plane normal (converted to
+    camera convention), SVD-fit the plane of normals
+    (`fit_plane_from_normals`), and score the fit as mean |n . plane_n| —
+    for both the raw and the optimized predictions.  Returns
+    (fit_scores, opt_fit_scores) as lists of 1-element lists, matching the
+    reference's return shape (the spearman-rank path is dead code there and
+    is not ported).
+    """
+    def track_fit(pred_list, plane) -> float:
+        normals = []
+        for idx in plane["ids"]:
+            box_id = plane["ids"][idx]
+            p = pred_list[idx]
+            cam = plane_to_camera(p.planes[box_id:box_id + 1])
+            n = cam / np.maximum(np.linalg.norm(cam, axis=1, keepdims=True),
+                                 1e-12)
+            normals.append(n)
+        normals = np.concatenate(normals, axis=0)
+        plane_n = fit_plane_from_normals(normals)
+        return float(np.abs(normals @ plane_n).mean())
+
+    corrs = [[track_fit(preds, pl)] for pl in planes]
+    opt_corrs = [[track_fit(opt_preds, pl)] for pl in planes]
+    return corrs, opt_corrs
+
+
 def check_axis(preds: Sequence, opt_preds: Sequence, planes: List[Dict],
                method: str = "", frames=None, h: int = 480, w: int = 640
                ) -> Tuple[List[float], List[float]]:

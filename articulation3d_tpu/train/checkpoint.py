@@ -272,7 +272,10 @@ def port_detectron2_state_dict(state_dict: Dict[str, np.ndarray],
         return True
 
     for key, value in state_dict.items():
-        if key.endswith("num_batches_tracked") or key in ("pixel_mean", "pixel_std"):
+        if (key.endswith("num_batches_tracked")
+                or key in ("pixel_mean", "pixel_std")
+                # anchor-generator buffers: constants we compute ourselves
+                or ".anchor_generator.cell_anchors" in key):
             continue
         mapped = _map_name(key)
         if mapped is None:

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.catalog import get_dataset_dicts, get_metadata
-from ..data.mapper import DetectionLoader, PlaneRCNNMapper
+from ..data.mapper import DetectionLoader, PlaneRCNNMapper, PrefetchLoader
 from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoint import (latest_checkpoint, load_checkpoint,
                          load_torch_state_dict, port_detectron2_state_dict,
@@ -66,8 +66,11 @@ class Trainer:
         mapper = PlaneRCNNMapper(cfg, is_train=True,
                                  max_instances=max_instances)
         per_step = cfg.solver.ims_per_batch
-        self.loader = DetectionLoader(records, mapper, per_step, shuffle=True,
-                                      seed=cfg.seed)
+        # background-thread prefetch overlaps cv2/mapper work with the
+        # device step (reference: 4 dataloader workers, config.yaml:5)
+        self.loader = PrefetchLoader(
+            DetectionLoader(records, mapper, per_step, shuffle=True,
+                            seed=cfg.seed))
         self._base_key = jax.random.PRNGKey(cfg.seed + 1)
 
     # -- checkpointing ------------------------------------------------------
@@ -139,10 +142,13 @@ class Trainer:
             evaluator.reset()
             records = get_dataset_dicts(name)
             mapper = PlaneRCNNMapper(self.cfg, is_train=False)
-            for rec in records:
-                sample = mapper(rec)
-                preds = pipeline.run([sample["images"].astype(np.uint8)])
-                p = preds[0]
+            # REAL batches through the pipeline: one padded single-frame call
+            # per record would waste (batch-1)/batch of the compute
+            samples = [mapper(rec) for rec in records]
+            preds = pipeline.run(
+                [s["images"].astype(np.uint8) for s in samples])
+            for rec, sample, p, depth in zip(records, samples, preds,
+                                             pipeline.depths):
                 instances = []
                 for i in range(len(p)):
                     box = p.boxes[i]
@@ -160,7 +166,7 @@ class Trainer:
                     "pred_rot_axis": p.rot_axis,
                     "pred_tran_axis": p.tran_axis,
                     "pred_plane": p.planes,
-                    "depth": pipeline.depths[0],
+                    "depth": depth,
                 }
                 evaluator.process(
                     [{"image_id": rec["image_id"],

@@ -41,3 +41,132 @@ def test_pallas_matches_xla(sr, aligned, p):
         feats, boxes, strides=(4, 8, 16, 32), output_size=p,
         sampling_ratio=sr, aligned=aligned)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# CPU emulation of the kernel's separable math (runs everywhere): the pallas
+# body computes out = Ry @ window @ Rx^T accumulated over tiles; emulating it
+# with the SAME `_prepare` outputs property-tests the window-coverage claim
+# (<= 5:1 aspect exact) and the >5:1 defensive edge clamp without a TPU.
+# --------------------------------------------------------------------------- #
+
+def _emulate_pallas(feats, boxes, *, p, sr, aligned):
+    import jax.numpy as jnp
+    from articulation3d_tpu.ops.roi_align_pallas import (_prepare, N_TILES,
+                                                         TILE_X, TILE_Y)
+
+    bsz, n = boxes.shape[:2]
+    c = feats[0].shape[-1]
+    pr = _prepare(feats, boxes, strides=(4, 8, 16, 32), output_size=p,
+                  sampling_ratio=sr, aligned=aligned)
+    levels = np.asarray(pr["levels"])
+    bids = np.asarray(pr["batch_ids"])
+    y0, x0 = np.asarray(pr["y0"]), np.asarray(pr["x0"])
+    nty, ntx = np.asarray(pr["nty"]), np.asarray(pr["ntx"])
+    ry, rx = np.asarray(pr["ry"]), np.asarray(pr["rx"])
+    padded = [np.asarray(f) for f in pr["padded"]]
+
+    total = bsz * n
+    out = np.zeros((total, p, p, c), np.float32)
+    for i in range(total):
+        fmap = padded[levels[i]][bids[i]]
+        for ty in range(N_TILES):
+            if ty >= nty[i]:
+                continue
+            for tx in range(N_TILES):
+                if tx >= ntx[i]:
+                    continue
+                win = fmap[y0[i] + ty * TILE_Y:y0[i] + (ty + 1) * TILE_Y,
+                           x0[i] + tx * TILE_X:x0[i] + (tx + 1) * TILE_X]
+                # kernel order: out[q, p, c] = rx[q, x] ry[p, y] win[y, x, c]
+                # (q = x-output, p = y-output; swapped to row-major below)
+                out[i] += np.einsum("qx,yxc,py->qpc", rx[i, tx], win,
+                                    ry[i, ty])
+    # kernel writes [q, p, c] then swaps -> [p, q, c]
+    return np.swapaxes(out, 1, 2).reshape(bsz, n, p, p, c)
+
+
+def _xla_ref(feats, boxes, *, p, sr, aligned):
+    from articulation3d_tpu.ops.roi_align import multilevel_roi_align
+    return np.asarray(jax.vmap(lambda f2, f3, f4, f5, b: multilevel_roi_align(
+        [f2, f3, f4, f5], b, strides=(4, 8, 16, 32), output_size=p,
+        sampling_ratio=sr, aligned=aligned))(*feats, boxes))
+
+
+def _feats(rs, c=8):
+    import jax.numpy as jnp
+    return [jnp.asarray(rs.randn(1, h, w, c), jnp.float32)
+            for h, w in [(120, 160), (60, 80), (30, 40), (15, 20)]]
+
+
+def test_window_covers_max_size_5to1_boxes():
+    """Worst-case per level: max sqrt-area for the level x 5:1 aspect, both
+    orientations, at corners and centers — kernel math must be EXACT."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    feats = _feats(rs)
+    boxes = []
+    # canonical sqrt(area) upper bound per assigned level (d2 assignment:
+    # level = 4 + log2(sqrt(area)/224), so level l covers up to 224*2^(l-4))
+    for max_sqrt_area in (112.0, 224.0, 448.0, 896.0):
+        s = max_sqrt_area * 0.99
+        for aspect in (5.0, 1.0 / 5.0):
+            w = s * np.sqrt(aspect)
+            h = s / np.sqrt(aspect)
+            for cx, cy in ((w / 2, h / 2), (320, 240),
+                           (640 - w / 2, 480 - h / 2)):
+                boxes.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+    boxes = np.asarray(boxes, np.float32)[None]
+    boxes[..., 0::2] = boxes[..., 0::2].clip(0, 640)
+    boxes[..., 1::2] = boxes[..., 1::2].clip(0, 480)
+    boxes = jnp.asarray(boxes)
+
+    for sr, aligned, p in ((0, True, 7), (0, False, 14), (2, False, 14)):
+        ref = _xla_ref(feats, boxes, p=p, sr=sr, aligned=aligned)
+        emu = _emulate_pallas(feats, boxes, p=p, sr=sr, aligned=aligned)
+        np.testing.assert_allclose(emu, ref, atol=1e-4,
+                                   err_msg=f"sr={sr} aligned={aligned}")
+
+
+def test_random_boxes_emulation_parity():
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(1)
+    feats = _feats(rs)
+    n = 64
+    sizes = rs.uniform(16, 500, (1, n, 1))
+    aspect = np.exp(rs.uniform(-np.log(5), np.log(5), (1, n, 1)))
+    w = sizes * np.sqrt(aspect)
+    h = sizes / np.sqrt(aspect)
+    x1 = rs.uniform(0, 600, (1, n, 1))
+    y1 = rs.uniform(0, 440, (1, n, 1))
+    boxes = jnp.asarray(np.concatenate(
+        [x1, y1, np.minimum(x1 + w, 640), np.minimum(y1 + h, 480)],
+        axis=2).astype(np.float32))
+    ref = _xla_ref(feats, boxes, p=7, sr=0, aligned=True)
+    emu = _emulate_pallas(feats, boxes, p=7, sr=0, aligned=True)
+    np.testing.assert_allclose(emu, ref, atol=1e-4)
+
+
+def test_extreme_aspect_clamped_not_dropped():
+    """>5:1 boxes: the defensive clamp yields a bounded nearest-cell
+    approximation — finite, and within the window's value range — rather
+    than silently attenuated output."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(2)
+    feats = _feats(rs)
+    # 9:1 aspect at max p2 size: 334 x 37 px -> 84 x 9 cells on p2 (> 80)
+    boxes = jnp.asarray([[[10.0, 200.0, 344.0, 237.0],
+                          [200.0, 10.0, 237.0, 444.0]]], jnp.float32)
+    emu = _emulate_pallas(feats, boxes, p=7, sr=0, aligned=True)
+    ref = _xla_ref(feats, boxes, p=7, sr=0, aligned=True)
+    assert np.all(np.isfinite(emu))
+    # clamp keeps every pooled value inside the global feature value range
+    lo, hi = float(np.asarray(feats[0]).min()), float(np.asarray(feats[0]).max())
+    assert emu.min() >= lo - 1e-4 and emu.max() <= hi + 1e-4
+    # and the bulk of the ROI (in-window part) still matches exactly: the
+    # ~4 dropped cells of 84 touch only the last output column/row
+    np.testing.assert_allclose(emu[0, 0, :, :5], ref[0, 0, :, :5], atol=1e-4)
+    np.testing.assert_allclose(emu[0, 1, :5, :], ref[0, 1, :5, :], atol=1e-4)
