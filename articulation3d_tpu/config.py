@@ -78,6 +78,9 @@ class RPNConfig:
     loss_weight: float = 1.0
     min_size: float = 0.0
     boundary_thresh: float = -1.0
+    # 1 = standard RPN head; 5 = the DRPN variant (PROPOSAL_GENERATOR: DRPN,
+    # reference `modeling/proposal_generator/drpn.py:13-28`)
+    head_convs: int = 1
 
 
 @dataclass(frozen=True)

@@ -57,23 +57,40 @@ def anchors_for_level(feat_h: int, feat_w: int, stride: int, size: float,
 
 
 class RPNHead(nn.Module):
-    """StandardRPNHead: 3x3 conv+ReLU -> 1x1 objectness & 1x1 anchor deltas."""
+    """StandardRPNHead: 3x3 conv+ReLU -> 1x1 objectness & 1x1 anchor deltas.
+
+    `num_conv > 1` gives the DRPN variant (reference
+    `modeling/proposal_generator/drpn.py:13-28`): the single conv becomes a
+    stack of 5 3x3 convs with NO intermediate activations (torch Sequential
+    of plain Conv2d), ReLU applied once after the stack (d2 StandardRPNHead
+    forward wraps `self.conv` in one relu).
+    """
 
     num_anchors: int
     conv_dim: int = 256
+    num_conv: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
-        conv = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
-                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")
+        if self.num_conv == 1:
+            convs = [nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name="conv")]
+        else:
+            convs = [nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"conv_{i}") for i in range(self.num_conv)]
         obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32, name="objectness_logits")
         deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32, name="anchor_deltas")
         logits, regs = [], []
         for f in features:
-            t = nn.relu(conv(f))
+            t = f
+            for c in convs:
+                t = c(t)
+            t = nn.relu(t)
             logits.append(obj(t))
             regs.append(deltas(t))
         return logits, regs
@@ -132,7 +149,8 @@ class RPN(nn.Module):
                  image_height: int, image_width: int, training: bool = False):
         feats = [features[f] for f in self.cfg.in_features]
         num_anchors = len(self.anchor_cfg.aspect_ratios)
-        logits, deltas = RPNHead(num_anchors, dtype=self.dtype, name="head")(feats)
+        logits, deltas = RPNHead(num_anchors, num_conv=self.cfg.head_convs,
+                                 dtype=self.dtype, name="head")(feats)
 
         strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
         anchors = []

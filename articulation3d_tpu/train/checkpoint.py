@@ -150,6 +150,13 @@ def _map_name(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
         mod, kind = m.groups()
         name = "kernel" if kind == "weight" else "bias"
         return ("rpn", "head", mod, name), ("conv" if kind == "weight" else "bias")
+    # DRPN: rpn_head.conv is a Sequential of 5 convs (drpn.py:22-28)
+    m = re.match(r"proposal_generator\.rpn_head\.conv\.(\d)\.(weight|bias)", key)
+    if m:
+        i, kind = m.groups()
+        name = "kernel" if kind == "weight" else "bias"
+        return (("rpn", "head", f"conv_{i}", name),
+                ("conv" if kind == "weight" else "bias"))
 
     # ---- box head --------------------------------------------------------
     m = re.match(r"roi_heads\.box_head\.fc(\d)\.(weight|bias)", key)

@@ -44,8 +44,11 @@ class ArtiVisualizer:
     """cv2-based stand-in for d2 Visualizer + draw_arrow."""
 
     def __init__(self, img_rgb: np.ndarray, scale: float = 1.0):
-        self.output = VisImage(np.ascontiguousarray(
-            np.asarray(img_rgb, np.uint8)))
+        # always COPY: d2's Visualizer never mutates the input image, and
+        # np.asarray aliases an already-uint8 array (drawing would corrupt
+        # the caller's frame)
+        self.output = VisImage(np.array(img_rgb, np.uint8, copy=True,
+                                        order="C"))
         self.scale = scale
         h, w = self.output.img.shape[:2]
         self._default_font_size = max(np.sqrt(h * w) // 90, 10)

@@ -129,3 +129,36 @@ def test_param_count_resnet50():
                jax.tree_util.tree_flatten_with_path(v)[0]
                if "conv" in str(path[-2]))
     assert conv == 23_454_912, conv
+
+
+def test_drpn_head_variant_and_port():
+    """DRPN: 5-conv RPN head (reference drpn.py:13-28) builds, ports, runs."""
+    import jax
+    import jax.numpy as jnp
+    from articulation3d_tpu.config import AnchorConfig, RPNConfig
+    from articulation3d_tpu.models.rpn import RPN
+    from articulation3d_tpu.train.checkpoint import (_map_name,
+                                                     port_detectron2_state_dict)
+
+    cfg = RPNConfig(head_convs=5, pre_nms_topk_test=16, post_nms_topk_test=16)
+    rpn = RPN(cfg, AnchorConfig())
+    feats = {f"p{i}": jnp.zeros((1, h, w, 256), jnp.float32)
+             for i, (h, w) in zip(range(2, 7),
+                                  [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)])}
+    v = rpn.init(jax.random.PRNGKey(0), feats, image_height=64, image_width=80)
+    assert {"conv_0", "conv_4"} <= set(v["params"]["head"])
+
+    assert _map_name("proposal_generator.rpn_head.conv.3.weight") == (
+        ("rpn", "head", "conv_3", "kernel"), "conv")
+    rs = np.random.RandomState(0)
+    sd = {}
+    for i in range(5):
+        sd[f"proposal_generator.rpn_head.conv.{i}.weight"] = \
+            rs.randn(256, 256, 3, 3).astype(np.float32)
+        sd[f"proposal_generator.rpn_head.conv.{i}.bias"] = \
+            rs.randn(256).astype(np.float32)
+    _, _, stats = port_detectron2_state_dict(sd, {"rpn": v["params"]})
+    assert stats == {"loaded": 10, "skipped": 0, "unmapped": 0}
+
+    out, _ = rpn.apply(v, feats, image_height=64, image_width=80)
+    assert out["boxes"].shape == (1, 16, 4)
