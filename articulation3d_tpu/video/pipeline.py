@@ -57,14 +57,25 @@ def override_plane_offsets(planes: jnp.ndarray, full_masks: jnp.ndarray,
     return jnp.where((count > 0)[:, None], new_planes, planes)
 
 
-def make_inference_step(config: Config, model: PlaneRCNN):
+def make_inference_step(config: Config, model: PlaneRCNN,
+                        output_height: Optional[int] = None,
+                        output_width: Optional[int] = None):
     """Build the jitted batched step: (variables, uint8 BGR frames) -> device
     outputs.  Variables are an argument (not a closure) so the weights don't
-    get baked into the compiled program as constants."""
+    get baked into the compiled program as constants.
+
+    `output_height/width` rescale detections to a different output
+    resolution, the reference `detector_postprocess` contract
+    (`modeling/postprocessing.py:11-75`): boxes scale + clip to the output
+    size and masks paste at output resolution.  Default: model resolution.
+    """
     h, w = config.input.height, config.input.width
+    out_h = output_height or h
+    out_w = output_width or w
     mcfg = config.model
-    rays = jnp.asarray(get_k_inv_dot_xy_1_eval(h, w).reshape(3, h, w),
-                       jnp.float32)
+    rays = jnp.asarray(
+        get_k_inv_dot_xy_1_eval(out_h, out_w).reshape(3, out_h, out_w),
+        jnp.float32)
 
     @jax.jit
     def step(variables, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -74,7 +85,16 @@ def make_inference_step(config: Config, model: PlaneRCNN):
             size_divisibility=config.input.size_divisibility)
         out = model.apply(variables, images, method=PlaneRCNN.inference)
         det = out["detections"]
-        result = {"boxes": det.boxes, "scores": det.scores,
+        boxes = det.boxes
+        if (out_h, out_w) != (h, w):
+            # d2 postprocess: scale by output/input ratio, clip to output
+            sx, sy = out_w / w, out_h / h
+            boxes = boxes * jnp.asarray([sx, sy, sx, sy], boxes.dtype)
+            boxes = jnp.clip(boxes, 0.0,
+                             jnp.asarray([out_w, out_h, out_w, out_h],
+                                         boxes.dtype))
+            det = det.replace(boxes=boxes)
+        result = {"boxes": boxes, "scores": det.scores,
                   "classes": det.classes, "valid": det.valid}
         if det.planes is not None:
             result["planes"] = det.planes
@@ -87,12 +107,16 @@ def make_inference_step(config: Config, model: PlaneRCNN):
             result["full_masks"] = full
         elif det.masks is not None:
             full = jax.vmap(lambda mk, bx, vl: paste_masks(
-                mk, bx, vl, h, w, threshold=mcfg.mask_head.mask_threshold,
-                nms=mcfg.mask_head.nms))(det.masks, det.boxes, det.valid)
+                mk, bx, vl, out_h, out_w,
+                threshold=mcfg.mask_head.mask_threshold,
+                nms=mcfg.mask_head.nms))(det.masks, boxes, det.valid)
             result["full_masks"] = full
         if "depth" in out:
             result["depth"] = out["depth"]
-            if det.planes is not None and det.masks is not None:
+            # depth-based offset override needs depth and masks at the same
+            # resolution (the reference runs everything at 480x640)
+            if (det.planes is not None and det.masks is not None
+                    and out["depth"].shape[1:] == (out_h, out_w)):
                 result["planes"] = jax.vmap(
                     lambda p, m, d: override_plane_offsets(p, m, d, rays))(
                         result["planes"], full, out["depth"])
@@ -110,7 +134,8 @@ class VideoPipeline:
 
     def __init__(self, config: Config, model: PlaneRCNN, variables,
                  batch_size: int = 8, conf_threshold: float = 0.7,
-                 use_mesh: bool = False):
+                 use_mesh: bool = False, output_height: Optional[int] = None,
+                 output_width: Optional[int] = None):
         self.config = config
         self.conf_threshold = conf_threshold
         self.batch_size = batch_size
@@ -118,7 +143,11 @@ class VideoPipeline:
         if self.mesh is not None:
             variables = replicate(self.mesh, variables)
         self.variables = variables
-        self.step = make_inference_step(config, model)
+        self.output_height = output_height or config.input.height
+        self.output_width = output_width or config.input.width
+        self.step = make_inference_step(config, model,
+                                        output_height=output_height,
+                                        output_width=output_width)
 
     def run(self, frames: Sequence[np.ndarray]) -> List[FramePrediction]:
         """frames: (H, W, 3) uint8 BGR arrays -> trimmed FramePredictions."""
@@ -152,8 +181,8 @@ class VideoPipeline:
             scores=out["scores"][i][idx],
             classes=out["classes"][i][idx],
             masks=(out["full_masks"][i][idx] if "full_masks" in out
-                   else zeros(len(idx), self.config.input.height,
-                              self.config.input.width)),
+                   else zeros(len(idx), self.output_height,
+                              self.output_width)),
             planes=(out["planes"][i][idx] if "planes" in out
                     else zeros(len(idx), 3)),
             rot_axis=(out["rot_axis"][i][idx] if "rot_axis" in out

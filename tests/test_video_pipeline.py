@@ -64,3 +64,27 @@ def test_override_plane_offsets_geometry():
     out = np.asarray(override_plane_offsets(planes, masks, depth, rays))
     assert np.linalg.norm(out[0]) == pytest.approx(2.0, rel=0.02)
     np.testing.assert_allclose(out[1], [0.0, 5.0, 0.0])
+
+
+def test_pipeline_output_rescale():
+    """detector_postprocess rescale contract (postprocessing.py:11-75):
+    boxes scale to the output resolution, masks paste at output size."""
+    from articulation3d_tpu.models import init_params
+
+    cfg = tiny_config()
+    model, variables = init_params(cfg, jax.random.PRNGKey(0))
+    base = VideoPipeline(cfg, model, variables, batch_size=2,
+                         conf_threshold=0.0)
+    scaled = VideoPipeline(cfg, model, variables, batch_size=2,
+                           conf_threshold=0.0,
+                           output_height=256, output_width=320)
+    rs = np.random.RandomState(0)
+    frames = [rs.randint(0, 255, (128, 160, 3), np.uint8)]
+    p0 = base.run(frames)[0]
+    p1 = scaled.run(frames)[0]
+    assert len(p0) == len(p1)
+    if len(p0):
+        np.testing.assert_allclose(p1.boxes, p0.boxes * 2.0, atol=1e-3)
+        assert p1.masks.shape[1:] == (256, 320)
+        assert np.all(p1.boxes[:, 0::2] <= 320 + 1e-3)
+        assert np.all(p1.boxes[:, 1::2] <= 256 + 1e-3)
