@@ -33,6 +33,30 @@ BATCH = 32               # frames per device batch (video frames = batch axis);
 STEPS = 10
 
 
+def _pallas_parity_check() -> float:
+    """Max abs err of the Pallas ROIAlign vs the XLA formulation on-chip."""
+    from articulation3d_tpu.ops.roi_align import multilevel_roi_align
+    from articulation3d_tpu.ops.roi_align_pallas import \
+        multilevel_roi_align_pallas
+
+    rs = np.random.RandomState(0)
+    feats = [jnp.asarray(rs.randn(1, h, w, 256), jnp.float32)
+             for h, w in [(120, 160), (60, 80), (30, 40), (15, 20)]]
+    n = 64
+    sizes = rs.uniform(20, 480, (1, n, 1))
+    x1 = rs.uniform(0, 600, (1, n, 1))
+    y1 = rs.uniform(0, 440, (1, n, 1))
+    boxes = jnp.asarray(np.concatenate(
+        [x1, y1, np.minimum(x1 + sizes, 640),
+         np.minimum(y1 + sizes * 0.7, 480)], axis=2).astype(np.float32))
+    kw = dict(strides=(4, 8, 16, 32), output_size=7, sampling_ratio=0,
+              aligned=True)
+    ref = jax.vmap(lambda f2, f3, f4, f5, b: multilevel_roi_align(
+        [f2, f3, f4, f5], b, **kw))(*feats, boxes)
+    got = multilevel_roi_align_pallas(feats, boxes, **kw)
+    return float(jnp.max(jnp.abs(got - ref)))
+
+
 def main():
     import dataclasses
 
@@ -60,6 +84,19 @@ def main():
     variables = jax.device_put(variables, jax.devices()[0])
     model = PlaneRCNN(cfg)
     print(f"# init {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # pallas-vs-XLA ROIAlign parity on the REAL chip, recorded in the bench
+    # artifact (stderr): the flagship kernel must agree with the exact XLA
+    # formulation before its throughput number means anything
+    if jax.default_backend() == "tpu":
+        try:
+            err = _pallas_parity_check()
+            print(f"# pallas roi_align parity max_err {err:.2e}",
+                  file=sys.stderr)
+            assert err < 1e-4, f"pallas kernel diverged from XLA: {err}"
+        except Exception as e:
+            print(f"# pallas parity check failed: {e}", file=sys.stderr)
+            raise
 
     # params are an ARGUMENT, not a closure: closed-over arrays get baked
     # into the HLO as constants (180MB of weights -> giant program)

@@ -146,6 +146,13 @@ def main():
                                     h=cfg.input.height, w=cfg.input.width)
         corrs.extend(corr)
         corrs_opt.extend(corr_opt)
+        if planes["rot"]:
+            from articulation3d_tpu.temporal import check_monotonic
+            fit, fit_opt = check_monotonic(preds, opt_preds, planes["rot"],
+                                           "debug")
+            print(f"{video_id}: normal-plane fit "
+                  f"{np.mean([f[0] for f in fit]):.4f} -> "
+                  f"{np.mean([f[0] for f in fit_opt]):.4f}")
 
         for frame_offset, p in pred_by_video[video_id].items():
             if frame_offset >= len(opt_preds):

@@ -1,0 +1,136 @@
+"""Stage-level inference profile on the real chip -> markdown table.
+
+Times the flagship inference program and its prefixes (backbone+FPN, +RPN,
++box head, full cascade; XLA vs Pallas ROI pooler) at a given batch size,
+with warm buffers (one execute+readback before timing — the axon device_put
+is lazy).  Writes/refreshes `PROFILE.md` at the repo root.
+
+Usage:  python tools/profile_inference.py [--batch 32] [--steps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _time_fn(fn, args, steps: int) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)        # compile + first transfer
+    out = fn(*args)
+    jax.block_until_ready(out)        # warm
+    t0 = time.time()
+    for _ in range(steps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.time() - t0) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--output", default=None, help="markdown path")
+    args = ap.parse_args()
+
+    from articulation3d_tpu.config import inference_config
+    from articulation3d_tpu.models import PlaneRCNN, init_params
+
+    cfg = inference_config()
+    h, w = cfg.input.height, cfg.input.width
+    b = args.batch
+
+    init_cfg = cfg.replace(
+        input=dataclasses.replace(cfg.input, height=128, width=160),
+        model=dataclasses.replace(
+            cfg.model, dtype="float32", roi_pooler_impl="xla",
+            rpn=dataclasses.replace(cfg.model.rpn, pre_nms_topk_test=64,
+                                    post_nms_topk_test=64),
+            roi_heads=dataclasses.replace(cfg.model.roi_heads,
+                                          detections_per_image=8),
+            depth_head=dataclasses.replace(cfg.model.depth_head,
+                                           output_height=128,
+                                           output_width=160)))
+    t0 = time.time()
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, variables = init_params(init_cfg, jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
+    print(f"# init {time.time() - t0:.0f}s", file=sys.stderr)
+
+    rs = np.random.RandomState(0)
+    images = jax.device_put(
+        jnp.asarray(rs.randn(b, h, w, 3), jnp.float32), jax.devices()[0])
+    jax.block_until_ready(images)
+
+    rows = []
+
+    def stage(name, fn):
+        dt = _time_fn(jax.jit(fn), (variables, images), args.steps)
+        rows.append((name, dt * 1000, b / dt))
+        print(f"{name:<28} {dt*1000:8.1f} ms/step  {b/dt:7.1f} f/s",
+              flush=True)
+
+    model = PlaneRCNN(cfg)
+    stage("backbone+fpn", lambda v, im: model.apply(
+        v, im, method=PlaneRCNN.features))
+
+    def to_rpn(mdl, im):
+        feats = mdl.features(im)
+        props, _ = mdl.rpn(feats, image_height=h, image_width=w,
+                           training=False)
+        return props
+
+    stage("+rpn (proposals)", lambda v, im: model.apply(
+        v, im, method=to_rpn))
+    stage("full inference (pallas)", lambda v, im: model.apply(
+        v, im, method=PlaneRCNN.inference))
+
+    xla_model = PlaneRCNN(cfg.replace(model=dataclasses.replace(
+        cfg.model, roi_pooler_impl="xla")))
+    stage("full inference (xla pool)", lambda v, im: xla_model.apply(
+        v, im, method=PlaneRCNN.inference))
+
+    # extra (unused) param-collection entries are ignored by flax apply
+    nodepth = PlaneRCNN(cfg.replace(model=dataclasses.replace(
+        cfg.model, depth_on=False)))
+    stage("inference w/o depth head", lambda v, im: nodepth.apply(
+        v, im, method=PlaneRCNN.inference))
+
+    out = args.output or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PROFILE.md")
+    backend = jax.default_backend()
+    with open(out, "w") as f:
+        f.write(f"# Inference profile (batch={b}, {backend}, 480x640)\n\n")
+        f.write("Per-stage wall time of the jitted program with warm "
+                "device-resident inputs;\nstages are cumulative prefixes of "
+                "the full cascade.\n\n")
+        f.write("| stage | ms/step | frames/s |\n|---|---|---|\n")
+        for name, ms, fps in rows:
+            f.write(f"| {name} | {ms:.1f} | {fps:.1f} |\n")
+        f.write("\nNotes:\n"
+                "- `full - (+rpn)` is the ROI stage (pool + box/mask/plane/"
+                "axis heads + NMS).\n"
+                "- `full - w/o depth` is the depth decoder cost.\n"
+                "- pallas vs xla pool rows isolate the ROIAlign kernel "
+                "speedup.\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
