@@ -11,6 +11,7 @@ data-parallel sharding over a device mesh.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -95,13 +96,24 @@ class Trainer:
             logger.info("loaded weights from %s", path)
 
     # -- the loop -----------------------------------------------------------
-    def train(self, max_iter: Optional[int] = None) -> TrainState:
+    def train(self, max_iter: Optional[int] = None,
+              profile_dir: Optional[str] = None) -> TrainState:
+        """Host loop.  `profile_dir` (or $ARTI3D_PROFILE_DIR) captures a jax
+        profiler trace of steps 10-15 — the reference has no tracing at all
+        (SURVEY.md §5); this is the TPU-native observability hook."""
+        import json as _json
+
         cfg = self.cfg
         max_iter = max_iter if max_iter is not None else cfg.solver.max_iter
         start = int(np.asarray(self.state.step))
         it = iter(self.loader)
         t0 = time.time()
+        profile_dir = profile_dir or os.environ.get("ARTI3D_PROFILE_DIR")
+        metrics_path = os.path.join(cfg.output_dir, "metrics.json")
+        os.makedirs(cfg.output_dir, exist_ok=True)
         for step in range(start, max_iter):
+            if profile_dir and step == start + 10:
+                jax.profiler.start_trace(profile_dir)
             batch = next(it)
             batch = {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray)}
@@ -109,12 +121,24 @@ class Trainer:
                 batch = shard_batch(self.mesh, batch)
             self.state, metrics = self._step_fn(self.state, batch,
                                                 self._base_key)
+            if profile_dir and step == start + 15:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
+                profile_dir = None
             if (step + 1) % 20 == 0 or step == start:
                 losses = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 logger.info("iter %d: total=%.4f (%.2f s/it) %s", step + 1,
                             losses.pop("total_loss"), dt / max(step + 1 - start, 1),
                             {k: round(v, 4) for k, v in losses.items()})
+                # d2-style metrics.json: one JSON line per log event
+                with open(metrics_path, "a") as f:
+                    f.write(_json.dumps({
+                        "iteration": step + 1,
+                        "s_per_it": round(dt / max(step + 1 - start, 1), 4),
+                        **{k: round(float(v), 6) for k, v in metrics.items()},
+                    }) + "\n")
             if (step + 1) % cfg.solver.checkpoint_period == 0:
                 save_checkpoint(cfg.output_dir, self.state, step + 1)
             if cfg.test.eval_period > 0 and (step + 1) % cfg.test.eval_period == 0:

@@ -29,14 +29,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _time_fn(fn, args, steps: int) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)        # compile + first transfer
-    out = fn(*args)
-    jax.block_until_ready(out)        # warm
+    # HOST READBACK, not block_until_ready: on the axon remote platform the
+    # latter returns before the device work completes; pulling the scalar
+    # value is the only reliable sync (same reason bench.py reads scores)
+    float(np.asarray(fn(*args)))      # compile + first transfer
+    float(np.asarray(fn(*args)))      # warm
     t0 = time.time()
     for _ in range(steps):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(np.asarray(fn(*args)))
     return (time.time() - t0) / steps
 
 
@@ -79,8 +79,23 @@ def main():
 
     rows = []
 
+    def reduced(fn):
+        # scalar-sum outputs: keeps all compute live (no DCE) but avoids
+        # materializing/transferring giant output buffers
+        def wrapped(v, im):
+            out = fn(v, im)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + x.astype(jnp.float32).sum(), out, 0.0)
+        return wrapped
+
     def stage(name, fn):
-        dt = _time_fn(jax.jit(fn), (variables, images), args.steps)
+        try:
+            dt = _time_fn(jax.jit(reduced(fn)), (variables, images),
+                          args.steps)
+        except Exception as e:
+            print(f"{name:<28} FAILED: {type(e).__name__}", flush=True)
+            rows.append((name, float("nan"), float("nan")))
+            return
         rows.append((name, dt * 1000, b / dt))
         print(f"{name:<28} {dt*1000:8.1f} ms/step  {b/dt:7.1f} f/s",
               flush=True)
