@@ -86,6 +86,10 @@ class PlaneRCNN(nn.Module):
                     else "xla")
         if impl == "pallas":
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
+            # pool from the compute dtype: bf16 windows halve the kernel's
+            # dominant HBM traffic (accumulation stays f32 in VMEM); with
+            # dtype=float32 this is a no-op and pooling is bit-exact
+            roi_feats = [f.astype(self._dtype) for f in roi_feats]
             return multilevel_roi_align_pallas(
                 roi_feats, boxes, strides=ROI_STRIDES,
                 output_size=resolution, sampling_ratio=sampling_ratio,

@@ -126,7 +126,8 @@ def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
         p = ry_ref.shape[2]
         ry = ry_ref[0, 0]                                 # (P, TILE_Y)
         rx = rx_ref[0, 0]                                 # (P, TILE_X)
-        t = jnp.dot(ry, win[...].reshape(TILE_Y, TILE_X * c),
+        wvals = win[...].astype(jnp.float32)              # bf16 -> f32 in VMEM
+        t = jnp.dot(ry, wvals.reshape(TILE_Y, TILE_X * c),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)   # (P, TILE_X*C)
         t = t.reshape(p, TILE_X, c)
@@ -159,9 +160,10 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
 
     # zero-pad every level by one full window: tile DMAs never run off the
-    # map, and padded cells only ever receive zero weight
-    padded = [jnp.pad(f.astype(jnp.float32),
-                      ((0, 0), (0, span_y), (0, span_x), (0, 0)))
+    # map, and padded cells only ever receive zero weight.  The feature
+    # dtype is preserved (bf16 halves the window-DMA traffic — the kernel's
+    # dominant cost; accumulation stays f32 in VMEM).
+    padded = [jnp.pad(f, ((0, 0), (0, span_y), (0, span_x), (0, 0)))
               for f in features]
 
     ys, xs, y_mask, x_mask = _sample_coords(
@@ -237,7 +239,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                lambda i, ty, tx, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TILE_Y, TILE_X, c), jnp.float32),
+            pltpu.VMEM((TILE_Y, TILE_X, c), features[0].dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
