@@ -222,3 +222,25 @@ def test_get_pcd_project2d_roundtrip():
     np.testing.assert_allclose(pcd @ normal, 1.7, atol=1e-5)
     # and project back to the original pixels
     np.testing.assert_allclose(np.asarray(project2D(pcd)), verts, atol=1e-3)
+
+
+def test_prefetch_loader_order_and_errors():
+    """PrefetchLoader yields the same batches in order and surfaces errors."""
+    from articulation3d_tpu.data.mapper import PrefetchLoader
+
+    batches = [{"x": np.full((2, 2), i)} for i in range(7)]
+    out = list(PrefetchLoader(batches, depth=2))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(b["x"], batches[i]["x"])
+
+    class Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(2)}
+            raise RuntimeError("loader died")
+
+    it = iter(PrefetchLoader(Boom()))
+    next(it)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="loader died"):
+        next(it)
