@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..config import AnchorConfig, RPNConfig
 from ..ops.box_ops import decode_deltas, clip_boxes, nonempty
-from ..ops.nms import nms_mask, select_top, NEG_INF
+from ..ops.nms import nms_mask, select_top, top_k, NEG_INF
 
 
 def generate_cell_anchors(size: float, aspect_ratios: Sequence[float]) -> np.ndarray:
@@ -114,7 +114,7 @@ def select_proposals_single(level_logits: Sequence[jnp.ndarray],
         scores = logit.reshape(n).astype(jnp.float32)
         deltas = delta.reshape(n, 4).astype(jnp.float32)
         k = min(pre_nms_topk, n)
-        top_scores, idx = jax.lax.top_k(scores, k)
+        top_scores, idx = top_k(scores, k)
         boxes = decode_deltas(deltas[idx], anchors[idx], bbox_reg_weights)
         boxes = clip_boxes(boxes, image_height, image_width)
         valid = nonempty(boxes, min_size)

@@ -21,6 +21,27 @@ from .box_ops import pairwise_iou
 NEG_INF = -1e10
 
 
+def top_k(x: jnp.ndarray, k: int):
+    """`lax.top_k` with an SPMD-partitionable lowering off-TPU.
+
+    XLA lowers `lax.top_k` to a TopK custom-call the SPMD partitioner cannot
+    shard: under a batch-sharded mesh every call all-gathers its operand and
+    runs replicated — and each such collective is a rendezvous barrier that
+    dominates virtual-device CPU execution (the multi-chip tests / dryrun).
+    The stable-sort form partitions cleanly and breaks ties identically
+    (lowest index first).  On TPU keep the custom-call: it is faster than a
+    full sort on the long RPN score vectors, and the single-chip serving
+    path never partitions it.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.lax.top_k(x, k)
+    dim = x.ndim - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, dim)
+    neg_vals, idx = jax.lax.sort_key_val(-x, iota, dimension=dim)
+    take = lambda a: jax.lax.slice_in_dim(a, 0, k, axis=dim)
+    return -take(neg_vals), take(idx)
+
+
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
              iou_threshold: float) -> jnp.ndarray:
     """Greedy NMS. Returns a bool keep mask aligned with the *input* order.
@@ -66,5 +87,5 @@ def select_top(scores: jnp.ndarray, keep: jnp.ndarray, k: int):
     by descending score; `valid[i]` False where fewer than k survive.
     """
     masked = jnp.where(keep, scores, NEG_INF)
-    top_scores, idx = jax.lax.top_k(masked, k)
+    top_scores, idx = top_k(masked, k)
     return idx, top_scores > NEG_INF / 2

@@ -20,6 +20,12 @@ the memory system:
     accumulated across tiles into the resident output block — pure
     sequential-bandwidth traffic, no gathers.
 
+The grid is one step per GROUP of ROIs; the 2x2 tile loop is unrolled
+in-kernel with predication, and window DMAs are double-buffered ACROSS grid
+steps through GROUP statically-indexed slots (slot g is refilled with the
+next group's ROI as soon as it is computed), so the typical ROI's window DMA
+is already in flight when its matmuls begin.
+
 Per-ROI level/image/window origins are scalar-prefetched so DMA addresses
 are known before the body runs.  Feature maps are zero-padded by one full
 window so tile DMAs never run off the map (padded cells always carry zero
@@ -92,49 +98,95 @@ def _separable_weights(coord, mask, n_s, size, origin, win_n):
     return w / jnp.maximum(n_s, 1)[:, None, None].astype(jnp.float32)
 
 
+GROUP = 2     # ROIs per grid step = DMA pipeline depth (slots are STATIC)
+
+
 def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
             ry_ref, rx_ref, f2_ref, f3_ref, f4_ref, f5_ref,
-            out_ref, win, sem):
-    i = pl.program_id(0)
-    ty = pl.program_id(1)
-    tx = pl.program_id(2)
-    level = level_ref[i]
-    b = b_ref[i]
-    y0 = y0_ref[i] + ty * TILE_Y
-    x0 = pl.multiple_of(x0_ref[i], 8) + tx * TILE_X
-    needed = (ty < nty_ref[i]) & (tx < ntx_ref[i])
+            out_ref, win, sems):
+    """GROUP ROIs per grid step, DMA double-buffered across steps.
 
-    first = (ty == 0) & (tx == 0)
+    Slot g (static index) holds ROI k*GROUP+g's window tiles, DMA'd during
+    step k-1; after computing it, the slot is refilled with ROI
+    (k+1)*GROUP+g's tiles, so window transfers for one slot overlap the
+    matmuls of the other.  The 2x2 tile loop is unrolled in-kernel with
+    predication instead of being grid dimensions: a typical (one-tile) ROI
+    costs half a grid invocation and never serializes on its own DMA.  All
+    scratch indices are compile-time constants — dynamic (traced) slot
+    numbers force slow dynamic-slice codegen on VMEM reads.
+    """
+    k = pl.program_id(0)
+    n_groups = pl.num_programs(0)
+    feats = (f2_ref, f3_ref, f4_ref, f5_ref)
+    c = win.shape[-1]
+    p = ry_ref.shape[2]
 
-    @pl.when(first)
-    def _init():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+    def start_dmas(roi, g):
+        level = level_ref[roi]
+        b = b_ref[roi]
+        for ty in range(N_TILES):
+            for tx in range(N_TILES):
+                needed = (ty < nty_ref[roi]) & (tx < ntx_ref[roi])
+                y0 = y0_ref[roi] + ty * TILE_Y
+                x0 = pl.multiple_of(x0_ref[roi], 8) + tx * TILE_X
+                for l, f in enumerate(feats):
+                    @pl.when(needed & (level == l))
+                    def _(f=f, ty=ty, tx=tx, y0=y0, x0=x0):
+                        pltpu.make_async_copy(
+                            f.at[b, pl.ds(y0, TILE_Y), pl.ds(x0, TILE_X), :],
+                            win.at[g, ty, tx],
+                            sems.at[g, ty, tx]).start()
 
-    @pl.when(needed)
-    def _work():
-        feats = (f2_ref, f3_ref, f4_ref, f5_ref)
-        for l, f in enumerate(feats):
-            @pl.when(level == l)
-            def _copy(f=f):
-                dma = pltpu.make_async_copy(
-                    f.at[b, pl.ds(y0, TILE_Y), pl.ds(x0, TILE_X), :],
-                    win, sem)
-                dma.start()
-                dma.wait()
+    @pl.when(k == 0)
+    def _prologue():
+        for g in range(GROUP):
+            start_dmas(g, g)
 
-        c = win.shape[-1]
-        p = ry_ref.shape[2]
-        ry = ry_ref[0, 0]                                 # (P, TILE_Y)
-        rx = rx_ref[0, 0]                                 # (P, TILE_X)
-        wvals = win[...].astype(jnp.float32)              # bf16 -> f32 in VMEM
-        t = jnp.dot(ry, wvals.reshape(TILE_Y, TILE_X * c),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)   # (P, TILE_X*C)
-        t = t.reshape(p, TILE_X, c)
-        t = jnp.swapaxes(t, 0, 1).reshape(TILE_X, p * c)
-        o = jnp.dot(rx, t, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-        out_ref[0] += o.reshape(p, p, c)                  # [q, p, c]
+    for g in range(GROUP):
+        roi = k * GROUP + g
+        out_ref[g] = jnp.zeros_like(out_ref[g])
+        for ty in range(N_TILES):
+            for tx in range(N_TILES):
+                needed = (ty < nty_ref[roi]) & (tx < ntx_ref[roi])
+
+                @pl.when(needed)
+                def _tile(g=g, ty=ty, tx=tx):
+                    # reconstruct the copy descriptor to wait on this tile's
+                    # semaphore for the exact transferred byte count (the
+                    # source slice only contributes its shape)
+                    pltpu.make_async_copy(
+                        f2_ref.at[0, pl.ds(0, TILE_Y), pl.ds(0, TILE_X), :],
+                        win.at[g, ty, tx],
+                        sems.at[g, ty, tx]).wait()
+                    ry = ry_ref[g, ty]                    # (P, TILE_Y)
+                    rx = rx_ref[g, tx]                    # (P, TILE_X)
+                    wvals = win[g, ty, tx]
+                    if wvals.dtype == jnp.bfloat16:
+                        # bf16 features: single-pass MXU matmuls (f32 runs
+                        # as a multi-pass decomposition, ~3x the cycles).
+                        # The weights' bf16 rounding adds ~2^-9 relative
+                        # error on top of the features' own quantization.
+                        t = jnp.dot(ry, wvals.reshape(TILE_Y, TILE_X * c),
+                                    preferred_element_type=jnp.float32)
+                        t = t.reshape(p, TILE_X, c)
+                        t = jnp.swapaxes(t, 0, 1).reshape(TILE_X, p * c)
+                        o = jnp.dot(rx, t.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+                    else:
+                        t = jnp.dot(ry, wvals.reshape(TILE_Y, TILE_X * c),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+                        t = t.reshape(p, TILE_X, c)
+                        t = jnp.swapaxes(t, 0, 1).reshape(TILE_X, p * c)
+                        o = jnp.dot(rx, t,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+                    out_ref[g] += o.reshape(p, p, c)      # [q, p, c]
+
+        # refill slot g for the next group only after computing from it
+        @pl.when(k + 1 < n_groups)
+        def _prefetch(g=g, roi=roi):
+            start_dmas(roi + GROUP, g)
 
 
 def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
@@ -159,12 +211,22 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     widths = jnp.asarray(ws)[levels]
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
 
-    # zero-pad every level by one full window: tile DMAs never run off the
-    # map, and padded cells only ever receive zero weight.  The feature
-    # dtype is preserved (bf16 halves the window-DMA traffic — the kernel's
-    # dominant cost; accumulation stays f32 in VMEM).
-    padded = [jnp.pad(f, ((0, 0), (0, span_y), (0, span_x), (0, 0)))
-              for f in features]
+    # Tile DMAs must never run off the map.  Levels at least one window tall/
+    # wide need NO padding: the window origin is clamped into bounds instead
+    # (moving the origin down only widens coverage; the separable weights
+    # reference absolute cells relative to the clamped origin, so numerics
+    # are unchanged).  Only levels smaller than the window (p3-p5) are padded
+    # up to the window size — this avoids recopying the large p2 map (~700MB
+    # per pooler call at batch 32).  The feature dtype is preserved (bf16
+    # halves the window-DMA traffic; accumulation stays f32 in VMEM).
+    hp = np.maximum(hs, span_y)
+    wp = np.maximum(ws, span_x)
+    padded = [f if (hp[l] == hs[l] and wp[l] == ws[l]) else
+              jnp.pad(f, ((0, 0), (0, int(hp[l] - hs[l])),
+                          (0, int(wp[l] - ws[l])), (0, 0)))
+              for l, f in enumerate(features)]
+    y0_cap = jnp.asarray(hp - span_y, jnp.int32)[levels]          # (T,)
+    x0_cap = jnp.asarray((wp - span_x) // 8 * 8, jnp.int32)[levels]
 
     ys, xs, y_mask, x_mask = _sample_coords(
         flat_boxes, scales, p, sampling_ratio, aligned, adaptive_cap=4)
@@ -184,6 +246,10 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     y0 = jnp.maximum(jnp.floor(y_min).astype(jnp.int32) - 1, 0)
     x0 = jnp.maximum(jnp.floor(x_min).astype(jnp.int32) - 1, 0)
     x0 = (x0 // 8) * 8  # x origin must be 8-aligned for the tiled HBM slice
+    # clamp origins so the full window stays inside the (possibly padded)
+    # map; caps are 8-aligned by construction so x0 stays aligned
+    y0 = jnp.minimum(y0, y0_cap)
+    x0 = jnp.minimum(x0, x0_cap)
 
     # tiles an ROI actually spans (1 or 2 per axis); +1 covers y_high
     need_y = jnp.floor(y_max).astype(jnp.int32) + 2 - y0
@@ -219,36 +285,56 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     levels, batch_ids = pr["levels"], pr["batch_ids"]
     y0, x0, nty, ntx = pr["y0"], pr["x0"], pr["nty"], pr["ntx"]
     ry, rx, padded = pr["ry"], pr["rx"], pr["padded"]
+    if features[0].dtype == jnp.bfloat16:
+        # weight matrices match the feature dtype so the kernel's matmuls
+        # take the single-pass bf16 MXU path
+        ry, rx = ry.astype(jnp.bfloat16), rx.astype(jnp.bfloat16)
+
+    # pad the ROI count to a multiple of GROUP with dummy one-tile ROIs
+    # (level 0, image 0, origin 0) so every grid step is full
+    total_p = ((total + GROUP - 1) // GROUP) * GROUP
+    if total_p != total:
+        extra = total_p - total
+        pad1 = lambda a, v: jnp.concatenate(
+            [a, jnp.full((extra,) + a.shape[1:], v, a.dtype)])
+        levels, batch_ids = pad1(levels, 0), pad1(batch_ids, 0)
+        y0, x0 = pad1(y0, 0), pad1(x0, 0)
+        nty, ntx = pad1(nty, 1), pad1(ntx, 1)
+        ry, rx = pad1(ry, 0), pad1(rx, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(total, N_TILES, N_TILES),
+        grid=(total_p // GROUP,),
         in_specs=[
-            pl.BlockSpec((1, 1, p, TILE_Y),
-                         lambda i, ty, tx, *_: (i, ty, 0, 0),
+            pl.BlockSpec((GROUP, N_TILES, p, TILE_Y),
+                         lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p, TILE_X),
-                         lambda i, ty, tx, *_: (i, tx, 0, 0),
+            pl.BlockSpec((GROUP, N_TILES, p, TILE_X),
+                         lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, p, p, c),
-                               lambda i, ty, tx, *_: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((GROUP, p, p, c),
+                               lambda k, *_: (k, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TILE_Y, TILE_X, c), features[0].dtype),
-            pltpu.SemaphoreType.DMA(()),
+            # GROUP static slots x 2x2 tiles: windows for group k (compute)
+            # refilled with group k+1's as each slot finishes
+            pltpu.VMEM((GROUP, N_TILES, N_TILES, TILE_Y, TILE_X, c),
+                       features[0].dtype),
+            pltpu.SemaphoreType.DMA((GROUP, N_TILES, N_TILES)),
         ],
     )
 
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((total, p, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total_p, p, p, c), jnp.float32),
     )(levels, batch_ids, y0, x0, nty, ntx, ry, rx, *padded)
+    out = out[:total]
 
     # kernel writes [q, p, c]; swap to [p, q, c] = (row, col, C)
     out = jnp.swapaxes(out, 1, 2)

@@ -48,9 +48,18 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any],
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree (params / optimizer state) across the mesh."""
+    """Replicate a pytree (params / optimizer state) across the mesh.
+
+    Stages through host memory first: direct device->replicated transfers of
+    large many-leaf trees deadlock the CPU PJRT client's transfer path on
+    single-core hosts with virtual devices (observed: whole-TrainState
+    replication never completing while its sub-trees replicate in seconds),
+    and host->replicated puts are fast on every backend.  This runs once per
+    (re)start, not in the step path.
+    """
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    host = jax.device_get(tree)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), host)
 
 
 def pad_to_multiple(batch: Dict[str, np.ndarray], multiple: int

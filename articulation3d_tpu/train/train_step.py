@@ -82,7 +82,14 @@ def compute_losses(model: PlaneRCNN, params, batch_stats,
 
 def make_train_step(config: Config, model: PlaneRCNN,
                     tx: optax.GradientTransformation):
-    """Build the pure train-step function (jit/pjit it at the call site)."""
+    """Build the pure train-step function (jit/pjit it at the call site).
+
+    Note on data-parallel collectives: the SPMD partitioner materializes the
+    gradient all-reduce at each leaf's batch-reduction point regardless of
+    downstream sharding constraints (verified against the compiled HLO), so
+    the ~14 combiner-capped tuple all-reduces cannot be coalesced from this
+    level; XLA's combiner exposes no CPU-side threshold flag.
+    """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:

@@ -17,7 +17,15 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU collectives ABORT the process when device threads miss a
+# rendezvous by 40s (rendezvous.cc termination timeout); on a single-core
+# host the mesh tests' device threads serialize, so raise the timeouts
+if "collective" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+              " --xla_cpu_collective_timeout_seconds=3000")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 # repo root on sys.path so `import articulation3d_tpu` works without install
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,9 +34,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# CPU-only cache dir: the shared .jax_cache also holds XLA:CPU executables
+# AOT-compiled by the axon remote helper on a host with a richer CPU feature
+# set (AMX, ...) — loading those in a local CPU process can SIGILL/abort
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+                      os.path.abspath(__file__))), ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"

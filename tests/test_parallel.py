@@ -28,11 +28,14 @@ N_DEV = 8
 
 
 def _tiny_config():
+    # kept MINIMAL: XLA:CPU conv grads dominate this suite's runtime and
+    # scale with the sampled-ROI count (same reason the multichip dryrun
+    # uses few ROIs/image) — sharding equivalence needs tiny shapes only
     model = ModelConfig(
-        rpn=RPNConfig(pre_nms_topk_test=32, post_nms_topk_test=32,
-                      pre_nms_topk_train=32, post_nms_topk_train=32),
-        roi_heads=ROIHeadsConfig(detections_per_image=4,
-                                 batch_size_per_image=8,
+        rpn=RPNConfig(pre_nms_topk_test=16, post_nms_topk_test=16,
+                      pre_nms_topk_train=16, post_nms_topk_train=16),
+        roi_heads=ROIHeadsConfig(detections_per_image=2,
+                                 batch_size_per_image=2,
                                  score_thresh_test=0.0),
         depth_head=DepthHeadConfig(output_height=H, output_width=W),
         dtype="float32",
@@ -41,7 +44,7 @@ def _tiny_config():
 
 
 def _train_batch(b, rs):
-    g = 4
+    g = 2
     masks = np.zeros((b, g, H, W), np.float32)
     masks[:, :, 10:30, 15:45] = 1.0
     return {
@@ -49,7 +52,7 @@ def _train_batch(b, rs):
         "gt_boxes": np.tile(np.asarray([[15, 10, 45, 30]], np.float32),
                             (b, g, 1)),
         "gt_classes": rs.randint(0, 2, (b, g)).astype(np.int32),
-        "gt_valid": np.tile(np.asarray([True, True, False, False]), (b, 1)),
+        "gt_valid": np.tile(np.asarray([True, True]), (b, 1)),
         "gt_masks": masks,
         "gt_planes": np.tile(np.asarray([0.0, 1.0, 0.0], np.float32),
                              (b, g, 1)),
@@ -69,7 +72,16 @@ def test_mesh_spans_all_devices():
 
 def test_sharded_train_step_matches_single_device():
     """Loss + updated params must be identical (up to fp tolerance) whether
-    the batch runs sharded over 8 devices or on one device."""
+    the batch runs sharded over the mesh or on one device.
+
+    Runs on a 2-device sub-mesh: sharding propagation and the gradient
+    psum are identical for any mesh size, and virtual-device CPU execution
+    is per-op-dispatch bound — each extra device thread multiplies the
+    step's thousands of op dispatches on this single core (measured: 15s
+    on 1 device, ~6 min on 4, ~19 min on 8 for the SAME batch).  The
+    8-device path is still exercised by the (conv-only, cheaper) video
+    pipeline test below and by `__graft_entry__.dryrun_multichip`.
+    """
     from articulation3d_tpu.train.optimizer import build_optimizer
     from articulation3d_tpu.train.train_step import (create_train_state,
                                                      make_train_step)
@@ -86,7 +98,7 @@ def test_sharded_train_step_matches_single_device():
     ref_state, ref_metrics = jax.jit(train_step)(state, batch, key)
     ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices()[:2])
     with mesh:
         sh_state = replicate(mesh, state)
         device_batch = shard_batch(mesh, batch)

@@ -36,4 +36,9 @@ f = jax.jit(lambda fs, bx: multilevel_roi_align_pallas(
     fs, bx, strides=(4,8,16,32), output_size=7, sampling_ratio=0, aligned=True).sum())
 s = float(f(feats8, boxes_big)); t0=time.time()
 for _ in range(5): s += float(f(feats8, boxes_big))
-print(f"pallas box-pool 8x1000 7x7: {(time.time()-t0)/5*1000:.1f} ms/step", flush=True)
+print(f"pallas box-pool 8x1000 7x7 f32: {(time.time()-t0)/5*1000:.1f} ms/step", flush=True)
+
+feats8_bf = [x.astype(jnp.bfloat16) for x in feats8]
+s = float(f(feats8_bf, boxes_big)); t0=time.time()
+for _ in range(5): s += float(f(feats8_bf, boxes_big))
+print(f"pallas box-pool 8x1000 7x7 bf16: {(time.time()-t0)/5*1000:.1f} ms/step", flush=True)
