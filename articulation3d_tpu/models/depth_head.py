@@ -24,8 +24,14 @@ from ..config import DepthHeadConfig
 
 
 def _resize_bilinear_nhwc(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """F.interpolate(mode='bilinear', align_corners=False) equivalent."""
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="linear")
+    """F.interpolate(mode='bilinear', align_corners=False) equivalent.
+
+    antialias=False is load-bearing: the reference's p6->p5 merge is a
+    DOWNSAMPLE (16->15 rows at 480x640, `depth_head.py:84`) and torch's
+    interpolate never antialiases, while jax.image.resize defaults to a
+    widened triangle kernel on downsamples."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="linear",
+                            antialias=False)
 
 
 def _upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -145,9 +145,13 @@ class RefinementBlock(nn.Module):
 
 def _resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear resize of the trailing-2 spatial dims of a (..., H, W) array
-    (torch F.interpolate(mode='bilinear', align_corners=False))."""
+    (torch F.interpolate(mode='bilinear', align_corners=False)).
+
+    antialias=False matches torch: the refine input resize 480x640->192x256
+    (reference refine_head.py:257-263) is a downsample, and torch's
+    interpolate never antialiases."""
     shape = x.shape[:-2] + (h, w)
-    return jax.image.resize(x, shape, method="linear")
+    return jax.image.resize(x, shape, method="linear", antialias=False)
 
 
 class RefineHead(nn.Module):
