@@ -377,9 +377,15 @@ def build_model(config: Config) -> PlaneRCNN:
 
 
 def init_params(config: Config, rng: jax.Array, batch_size: int = 1):
-    """Initialize parameters with a dummy batch."""
+    """Initialize parameters with a dummy batch.
+
+    The init is jitted: un-jitted `model.init` dispatches the whole traced
+    inference graph op-by-op (tens of seconds on CPU), while the compiled
+    program runs in seconds and hits the persistent compilation cache.
+    """
     model = build_model(config)
     images = jnp.zeros((batch_size, config.input.height, config.input.width, 3),
                        jnp.float32)
-    variables = model.init(rng, images, method=PlaneRCNN.inference)
+    variables = jax.jit(
+        lambda r: model.init(r, images, method=PlaneRCNN.inference))(rng)
     return model, variables

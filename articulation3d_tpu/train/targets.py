@@ -106,12 +106,26 @@ def subsample_labels(labels: jnp.ndarray, num_samples: int,
 # RPN losses
 # --------------------------------------------------------------------------- #
 
+def per_image_keys(key: jax.Array, b: int) -> jnp.ndarray:
+    """Normalize an RNG argument to per-image keys (B, 2).
+
+    Accepts either a scalar PRNG key (split here) or pre-split per-image
+    keys (passed through).  The multi-device `shard_map` train step presplits
+    keys from the GLOBAL batch index so every image samples identically
+    regardless of how the batch is sharded over devices."""
+    key = jnp.asarray(key)
+    if key.ndim == 2:
+        assert key.shape[0] == b, (key.shape, b)
+        return key
+    return jax.random.split(key, b)
+
+
 def rpn_losses(rpn_raw: Dict, gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
                key: jax.Array, cfg: Config) -> Dict[str, jnp.ndarray]:
     """RPN objectness + anchor regression loss over the batch.
 
     rpn_raw: {"logits": [per-level (B,H,W,A)], "deltas": [(B,H,W,4A)],
-              "anchors": [(HWA,4)]}.
+              "anchors": [(HWA,4)]}.  `key`: scalar key or per-image (B, 2).
     """
     rcfg = cfg.model.rpn
     anchors = jnp.concatenate(rpn_raw["anchors"], axis=0)          # (A, 4)
@@ -131,7 +145,7 @@ def rpn_losses(rpn_raw: Dict, gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
         tgt = encode_deltas(anchors, gt_b[matched_idx], rcfg.bbox_reg_weights)
         return pos, neg, tgt
 
-    keys = jax.random.split(key, b)
+    keys = per_image_keys(key, b)
     pos, neg, tgt = jax.vmap(per_image)(gt_boxes, gt_valid, keys)
 
     normalizer = float(rcfg.batch_size_per_image * b)
@@ -188,7 +202,7 @@ def sample_rois(proposal_boxes: jnp.ndarray, proposal_valid: jnp.ndarray,
         return (boxes[take], cls[take], matched_idx[take],
                 sampled[take], pos[take])
 
-    keys = jax.random.split(key, proposal_boxes.shape[0])
+    keys = per_image_keys(key, proposal_boxes.shape[0])
     out = jax.vmap(per_image)(proposal_boxes, proposal_valid, gt_boxes,
                               gt_classes, gt_valid, keys)
     return SampledROIs(*out)
