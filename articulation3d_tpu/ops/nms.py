@@ -21,25 +21,60 @@ from .box_ops import pairwise_iou
 NEG_INF = -1e10
 
 
-def top_k(x: jnp.ndarray, k: int):
-    """`lax.top_k` with an SPMD-partitionable lowering off-TPU.
-
-    XLA lowers `lax.top_k` to a TopK custom-call the SPMD partitioner cannot
-    shard: under a batch-sharded mesh every call all-gathers its operand and
-    runs replicated — and each such collective is a rendezvous barrier that
-    dominates virtual-device CPU execution (the multi-chip tests / dryrun).
-    The stable-sort form partitions cleanly and breaks ties identically
-    (lowest index first).  On TPU keep the custom-call: it is faster than a
-    full sort on the long RPN score vectors, and the single-chip serving
-    path never partitions it.
-    """
-    if jax.default_backend() == "tpu":
-        return jax.lax.top_k(x, k)
+def _sort_top_k(x: jnp.ndarray, k: int):
+    """Stable-sort top-k: partitions cleanly under the SPMD partitioner and
+    breaks ties identically to `lax.top_k` (lowest index first)."""
     dim = x.ndim - 1
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, dim)
     neg_vals, idx = jax.lax.sort_key_val(-x, iota, dimension=dim)
     take = lambda a: jax.lax.slice_in_dim(a, 0, k, axis=dim)
     return -take(neg_vals), take(idx)
+
+
+def _under_multidevice_mesh() -> bool:
+    """True when tracing under a >1-device mesh (pjit `with mesh:` context or
+    the newer abstract-mesh context)."""
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            # legacy accessor for the `with mesh:` context; deprecated in
+            # jax 0.8.2 but still the only view of the physical-mesh context
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+            m = pxla.thread_resources.env.physical_mesh
+        if m is not None and not m.empty and m.size > 1:
+            return True
+    except Exception:
+        pass
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        return m is not None and not m.empty and m.size > 1
+    except Exception:
+        return False
+
+
+def top_k(x: jnp.ndarray, k: int):
+    """`lax.top_k` with an SPMD-partitionable lowering where it matters.
+
+    XLA lowers `lax.top_k` to a TopK custom-call the SPMD partitioner cannot
+    shard: under a batch-sharded mesh every call all-gathers its operand and
+    runs replicated — and each such collective is a rendezvous barrier that
+    dominates virtual-device CPU execution (the multi-chip tests / dryrun)
+    and costs an ICI round-trip on real multi-chip TPU.  So:
+
+      * tracing under a >1-device mesh -> always the sort form (partitions);
+      * otherwise pick per lowering platform (`lax.platform_dependent`, NOT
+        the process-global `jax.default_backend()`): the TPU custom-call is
+        faster than a full sort on the long RPN score vectors and the
+        single-chip serving path never partitions it; every other platform
+        gets the sort form.
+    """
+    if _under_multidevice_mesh():
+        return _sort_top_k(x, k)
+    return jax.lax.platform_dependent(
+        x,
+        tpu=lambda v: tuple(jax.lax.top_k(v, k)),
+        default=lambda v: _sort_top_k(v, k))
 
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,

@@ -165,7 +165,8 @@ def _gather_pool(flat_rows: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
     # never pad a small ROI set up to a full chunk: the per-chunk gather
     # buffer is (chunk, P, S, P, S, C) regardless of real occupancy, so a
     # 16-ROI training pool padded to 128 costs 8x the memory and traffic
-    chunk = min(chunk, n)
+    # (floor of 1 keeps n == 0 valid: one empty lax.map chunk)
+    chunk = max(1, min(chunk, n))
 
     def chunk_fn(args):
         idx_c, w_c, ym_c, xm_c = args                  # (K, P,S,P,S,4), ...

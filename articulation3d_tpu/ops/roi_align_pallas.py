@@ -27,19 +27,24 @@ next group's ROI as soon as it is computed), so the typical ROI's window DMA
 is already in flight when its matmuls begin.
 
 Per-ROI level/image/window origins are scalar-prefetched so DMA addresses
-are known before the body runs.  Feature maps are zero-padded by one full
-window so tile DMAs never run off the map (padded cells always carry zero
-weight; real out-of-range semantics are encoded in Ry/Rx).  Dynamic offsets
-on the tiled x dim must be 8-aligned: x origins round down to 8, absorbed by
-the 40-wide x tiles.
+are known before the body runs.  Tile DMAs never run off the map: window
+origins are clamped into bounds on levels at least one window tall/wide,
+and only levels smaller than the window are zero-padded up to it (padded
+cells always carry zero weight; real out-of-range semantics are encoded in
+Ry/Rx).  Dynamic offsets on the tiled x dim must be 8-aligned: x origins
+round down to 8 (absorbed by the 40-wide x tiles) and level widths round up
+to a multiple of 8 so the origin cap reaches the right edge exactly.
 
-Known approximation: an ROI beyond ~5:1 aspect at the maximum size for its
-level has tail samples outside even the 2x2 window; those samples clamp to
-the window edge (nearest-cell approximation — see the defensive clamp in
-`_separable_weights`).  ROIs within the FPN level-assignment contract
-(sqrt-area based, `assign_boxes_to_levels`) up to 5:1 aspect are covered
-exactly — property-tested in `tests/test_pallas_roi.py` via a CPU emulation
-of the kernel's separable matmul math.
+Known approximation: an ROI whose cell extent exceeds the fixed window
+(beyond ~5:1 tall / ~8:1 wide at the maximum size for its sqrt-area level)
+is pooled from the next coarser level(s) where it fits — exact bilinear
+pooling at halved resolution (torchvision would pool it from the assigned
+level).  ROIs within the FPN level-assignment contract
+(`assign_boxes_to_levels`) up to 5:1 aspect are covered exactly —
+property-tested in `tests/test_pallas_roi.py` via a CPU emulation of the
+kernel's separable matmul math.  Only an ROI still overflowing at the
+TOP level (a near-image-sized >8:1 sliver) falls back to the defensive
+edge-clamp in `_separable_weights`.
 
 Gradients: training uses the XLA formulation (autodiff'd); this kernel
 serves the inference path.
@@ -207,9 +212,44 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
         max_level=min_level + len(features) - 1) - min_level      # (T,)
     hs = np.array([f.shape[1] for f in features], np.int32)
     ws = np.array([f.shape[2] for f in features], np.int32)
+    scale_table = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    # Window-overflow level bump: an ROI whose SAMPLED extent would exceed
+    # the fixed window (beyond ~5:1 tall / ~8:1 wide at the max size for its
+    # assigned level) pools from the next coarser level(s) where it fits —
+    # exact bilinear pooling at halved resolution, instead of the former
+    # edge-snap of tail samples.  The sampled extent (first/last sample gap,
+    # a bin-fraction smaller than the box extent) is what the window must
+    # cover; margins hold the floor-origin (-1 / +2 cells) and the 8-aligned
+    # x origin (up to 7 cells).  Sample spans scale exactly with 1/stride,
+    # so the bump count is a log2 of the overflow ratio.  ROIs within the
+    # sqrt-area level contract up to 5:1 aspect never bump.
+    scales0 = scale_table[levels]
+    ys0, xs0, ym0, xm0 = _sample_coords(
+        flat_boxes, scales0, p, sampling_ratio, aligned, adaptive_cap=4)
+    big0 = jnp.float32(1e9)
+    y_min0 = jnp.min(jnp.where(ym0 > 0, ys0, big0), axis=(1, 2))
+    y_max0 = jnp.max(jnp.where(ym0 > 0, ys0, -big0), axis=(1, 2))
+    x_min0 = jnp.min(jnp.where(xm0 > 0, xs0, big0), axis=(1, 2))
+    x_max0 = jnp.max(jnp.where(xm0 > 0, xs0, -big0), axis=(1, 2))
+    # exact window need at the assigned level, mirroring the origin rules
+    # below (floor - 1, clamped at 0; x additionally floored to 8)
+    need_y0 = jnp.floor(y_max0) + 2 - jnp.maximum(jnp.floor(y_min0) - 1, 0.0)
+    x0_al = jnp.floor(jnp.maximum(jnp.floor(x_min0) - 1, 0.0) / 8) * 8
+    need_x0 = jnp.floor(x_max0) + 2 - x0_al
+    overflow = (need_y0 > span_y) | (need_x0 > span_x)
+    # bump count from the sample spans (they scale exactly with 1/stride);
+    # -4 / -11 margins cover origin flooring and the 8-aligned x origin at
+    # the bumped level
+    over = jnp.maximum((y_max0 - y_min0) / float(span_y - 4),
+                       (x_max0 - x_min0) / float(span_x - 11))
+    b_req = jnp.ceil(jnp.log2(jnp.maximum(over, 1.0))).astype(jnp.int32)
+    bump = jnp.where(overflow, jnp.maximum(b_req, 1), 0)
+    levels = jnp.minimum(levels + bump, len(features) - 1)
+
     heights = jnp.asarray(hs)[levels]
     widths = jnp.asarray(ws)[levels]
-    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
+    scales = scale_table[levels]
 
     # Tile DMAs must never run off the map.  Levels at least one window tall/
     # wide need NO padding: the window origin is clamped into bounds instead
@@ -220,13 +260,18 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     # per pooler call at batch 32).  The feature dtype is preserved (bf16
     # halves the window-DMA traffic; accumulation stays f32 in VMEM).
     hp = np.maximum(hs, span_y)
-    wp = np.maximum(ws, span_x)
+    # round widths up to a multiple of 8 (at most 7 extra columns) so the
+    # 8-aligned x-origin cap below sits exactly at wp - span_x: without this,
+    # any level width not divisible by 8 would floor the cap up to 7 columns
+    # short of the right edge and right-edge samples would get edge-snapped
+    # by the defensive clamp in `_separable_weights`
+    wp = (np.maximum(ws, span_x) + 7) // 8 * 8
     padded = [f if (hp[l] == hs[l] and wp[l] == ws[l]) else
               jnp.pad(f, ((0, 0), (0, int(hp[l] - hs[l])),
                           (0, int(wp[l] - ws[l])), (0, 0)))
               for l, f in enumerate(features)]
     y0_cap = jnp.asarray(hp - span_y, jnp.int32)[levels]          # (T,)
-    x0_cap = jnp.asarray((wp - span_x) // 8 * 8, jnp.int32)[levels]
+    x0_cap = jnp.asarray(wp - span_x, jnp.int32)[levels]          # 8-aligned
 
     ys, xs, y_mask, x_mask = _sample_coords(
         flat_boxes, scales, p, sampling_ratio, aligned, adaptive_cap=4)

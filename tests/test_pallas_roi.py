@@ -149,24 +149,76 @@ def test_random_boxes_emulation_parity():
     np.testing.assert_allclose(emu, ref, atol=1e-4)
 
 
-def test_extreme_aspect_clamped_not_dropped():
-    """>5:1 boxes: the defensive clamp yields a bounded nearest-cell
-    approximation — finite, and within the window's value range — rather
-    than silently attenuated output."""
+def test_non_8_divisible_level_widths_right_edge():
+    """Input sizes not divisible by 32 give level widths not divisible by 8
+    (e.g. 484x644 -> p2 161 wide).  The x-origin cap must still reach the
+    right edge exactly — levels are padded up to an 8-multiple width — so
+    right-edge ROIs pool exactly on every level."""
     import jax.numpy as jnp
+
+    rs = np.random.RandomState(3)
+    feats = [jnp.asarray(rs.randn(1, h, w, 8), jnp.float32)
+             for h, w in [(121, 161), (61, 81), (31, 41), (16, 21)]]
+    # one box per assigned level, hugging the right edge of the 644px image
+    boxes = []
+    for w, h in ((100, 100), (200, 200), (440, 440), (640, 478)):
+        y1 = 2.0
+        boxes.append([644.0 - w, y1, 644.0, y1 + h])
+    boxes = jnp.asarray(np.asarray(boxes, np.float32)[None])
+
+    from articulation3d_tpu.ops.roi_align import assign_boxes_to_levels
+    lvls = np.asarray(assign_boxes_to_levels(boxes[0]))
+    assert list(lvls) == [2, 3, 4, 5], lvls
+
+    for sr, aligned, p in ((0, True, 7), (0, False, 14), (2, False, 14)):
+        ref = _xla_ref(feats, boxes, p=p, sr=sr, aligned=aligned)
+        emu = _emulate_pallas(feats, boxes, p=p, sr=sr, aligned=aligned)
+        np.testing.assert_allclose(emu, ref, atol=1e-4,
+                                   err_msg=f"sr={sr} aligned={aligned}")
+
+
+def test_extreme_aspect_pools_exactly_from_bumped_level():
+    """>5:1 boxes whose cell extent overflows the 64x80 window pool from the
+    next coarser level — EXACT bilinear pooling there (vs the old edge-snap
+    approximation).  The reference for each box is single-level ROIAlign on
+    the bumped level's map."""
+    import jax.numpy as jnp
+    from articulation3d_tpu.ops.roi_align import multilevel_roi_align
 
     rs = np.random.RandomState(2)
     feats = _feats(rs)
-    # 9:1 aspect at max p2 size: 334 x 37 px -> 84 x 9 cells on p2 (> 80)
+    # 9:1 aspect at max p2 size: 334 x 37 px -> 84 x 9 cells on p2 (> 80
+    # wide) and the transpose (84 tall > 64): both must bump p2 -> p3
     boxes = jnp.asarray([[[10.0, 200.0, 344.0, 237.0],
                           [200.0, 10.0, 237.0, 444.0]]], jnp.float32)
     emu = _emulate_pallas(feats, boxes, p=7, sr=0, aligned=True)
-    ref = _xla_ref(feats, boxes, p=7, sr=0, aligned=True)
     assert np.all(np.isfinite(emu))
-    # clamp keeps every pooled value inside the global feature value range
-    lo, hi = float(np.asarray(feats[0]).min()), float(np.asarray(feats[0]).max())
-    assert emu.min() >= lo - 1e-4 and emu.max() <= hi + 1e-4
-    # and the bulk of the ROI (in-window part) still matches exactly: the
-    # ~4 dropped cells of 84 touch only the last output column/row
-    np.testing.assert_allclose(emu[0, 0, :, :5], ref[0, 0, :, :5], atol=1e-4)
-    np.testing.assert_allclose(emu[0, 1, :5, :], ref[0, 1, :5, :], atol=1e-4)
+    # reference: the exact XLA pooler FORCED onto p3 (stride 8) — same
+    # adaptive-sample-cap semantics as the kernel, single level
+    ref = np.asarray(multilevel_roi_align(
+        [feats[1][0]], boxes[0], strides=(8,), output_size=7,
+        sampling_ratio=0, aligned=True, min_level=3))
+    np.testing.assert_allclose(emu[0], ref, atol=1e-4,
+                               err_msg="bumped-level pooling (p3)")
+
+
+def test_in_contract_boxes_never_bump():
+    """<=5:1 boxes at max level size keep their sqrt-area level (the bump
+    must not perturb the exact in-contract path)."""
+    import jax.numpy as jnp
+    from articulation3d_tpu.ops.roi_align import assign_boxes_to_levels
+    from articulation3d_tpu.ops.roi_align_pallas import _prepare
+
+    boxes = []
+    for max_sqrt_area in (112.0, 224.0, 448.0):
+        s = max_sqrt_area * 0.99
+        for aspect in (5.0, 1.0 / 5.0, 1.0):
+            w, h = s * np.sqrt(aspect), s / np.sqrt(aspect)
+            boxes.append([320 - w / 2, 240 - h / 2, 320 + w / 2, 240 + h / 2])
+    boxes = jnp.asarray(np.asarray(boxes, np.float32)[None])
+    rs = np.random.RandomState(0)
+    feats = _feats(rs)
+    pr = _prepare(feats, boxes, strides=(4, 8, 16, 32), output_size=7,
+                  sampling_ratio=0, aligned=True)
+    assigned = np.asarray(assign_boxes_to_levels(boxes[0])) - 2
+    np.testing.assert_array_equal(np.asarray(pr["levels"]), assigned)
