@@ -16,10 +16,21 @@ exact matching protocol (`arti_evaluation.py:262-665`):
   * predicted normals go through the ScanNet->SunCG swap; GT normals get
     y negated; missing GT normals ((-1,-1,-1)) force error 180 deg.
 
-Deviation (documented): the reference's per-prediction filter
-`if valid_pred_ids[idx] == 0` evaluates a (G,)-element tensor and only runs
-when images have a single GT; here the filter is `max IoU > filter_iou`,
-identical for G == 1 and well-defined for G > 1.
+Reference quirks preserved by default (``legacy_quirks=True``), per SURVEY
+§7.4 (parity-affecting quirks are preserved, not fixed):
+
+  * the per-prediction pre-filter `if valid_pred_ids[idx] == 0`
+    (`arti_evaluation.py:434-441`) evaluates a (G,)-element bool row, which
+    torch only accepts in `if` for G == 1 — so the IoU > filter_iou
+    pre-filter is active ONLY on single-GT images; multi-GT images score
+    every prediction (low-IoU ones become FPs via the biou > iou_thresh
+    term);
+  * `pred_normals[pred_id]` (`arti_evaluation.py:485`) indexes normals by
+    the score-sorted RANK, not the original prediction index (a no-op when
+    detections arrive score-sorted, which the detector guarantees).
+
+``legacy_quirks=False`` opts into the well-defined rule: a uniform
+`max IoU > filter_iou` pre-filter for any G, normals by prediction index.
 
 pycocotools COCO is replaced by `CocoIndex` over the identical JSON format.
 """
@@ -143,7 +154,8 @@ def _gt_axis_coords(gt_anns: List[Dict], gt_centers: np.ndarray, key: str,
 
 def evaluate_for_arti_axis(predictions: Sequence[Dict], dataset: CocoIndex,
                            metadata, filter_iou: float, iou_thresh: float = 0.5,
-                           normal_threshold: float = 30.0) -> Dict[str, float]:
+                           normal_threshold: float = 30.0,
+                           legacy_quirks: bool = True) -> Dict[str, float]:
     cat_ids = sorted(dataset.getCatIds())
     reverse = {v: k for k, v in metadata.thing_dataset_id_to_contiguous_id.items()}
     contiguous = metadata.thing_dataset_id_to_contiguous_id
@@ -207,7 +219,13 @@ def evaluate_for_arti_axis(predictions: Sequence[Dict], dataset: CocoIndex,
 
         for rank in range(len(scores)):
             i = idx_sorted[rank]
-            if boxiou[i].max() <= filter_iou:
+            if legacy_quirks:
+                # reference pre-filter is only defined (torch scalar-bool)
+                # when the image has a single GT — multi-GT images score
+                # every prediction (`arti_evaluation.py:434-441`)
+                if len(gt_anns) == 1 and boxiou[i, 0] <= filter_iou:
+                    continue
+            elif boxiou[i].max() <= filter_iou:
                 continue
             gt_id = int(np.argmax(boxiou[i]))
             gt_label = gt_labels[gt_id]
@@ -223,7 +241,10 @@ def evaluate_for_arti_axis(predictions: Sequence[Dict], dataset: CocoIndex,
             else:
                 raise NotImplementedError(gt_class_name)
 
-            dot = float(np.dot(pred_normals[i], gt_normals[gt_id]))
+            # reference indexes normals by sorted RANK (`:485`), not by the
+            # original prediction index — a no-op for score-sorted inputs
+            normal_idx = rank if legacy_quirks else i
+            dot = float(np.dot(pred_normals[normal_idx], gt_normals[gt_id]))
             normal_error = np.arccos(np.clip(dot, -1.0, 1.0)) / np.pi * 180.0
             if np.linalg.norm(gt_normals[gt_id]) > 1.1:  # invalid gt normal
                 normal_error = 180.0
@@ -289,13 +310,15 @@ class ArtiEvaluator:
     """
 
     def __init__(self, dataset_name: str, cfg: Optional[Config] = None,
-                 distributed: bool = False, output_dir: Optional[str] = None):
+                 distributed: bool = False, output_dir: Optional[str] = None,
+                 legacy_quirks: bool = True):
         self.cfg = cfg
         self._distributed = distributed
         self._output_dir = output_dir
         self._metadata = get_metadata(dataset_name)
         self._filter_iou = 0.7
         self._filter_score = 0.7
+        self._legacy_quirks = legacy_quirks
         self._coco_api = CocoIndex(self._to_coco(self._metadata.json_file))
         self._predictions: List[Dict] = []
 
@@ -376,7 +399,7 @@ class ArtiEvaluator:
                    ("axis", "pred_rot_axis", "pred_tran_axis")):
                 results.update(evaluate_for_arti_axis(
                     predictions, self._coco_api, self._metadata,
-                    self._filter_iou))
+                    self._filter_iou, legacy_quirks=self._legacy_quirks))
         if results:
             from ..utils.tables import create_small_table
             finite = {k: v for k, v in results.items()

@@ -99,6 +99,51 @@ def test_arti_filter_iou_excludes_non_overlapping():
     assert metrics["bbox - arti_rot"] == pytest.approx(0.0)
 
 
+def test_arti_multi_gt_legacy_quirk_scores_low_iou_preds():
+    """Reference quirk (`arti_evaluation.py:434-441`): the IoU pre-filter is
+    a torch scalar-bool only valid for single-GT images, so on multi-GT
+    images EVERY prediction is scored (low-IoU ones become FPs).  The
+    opt-in `legacy_quirks=False` rule pre-filters uniformly."""
+    images = [{"id": "m0", "width": 640, "height": 480, "file_name": "m0.png"}]
+    annotations = []
+    for j, bbox in enumerate([[100, 100, 200, 150], [420, 320, 100, 100]]):
+        annotations.append({
+            "id": j + 1, "image_id": "m0", "bbox": bbox,
+            "area": bbox[2] * bbox[3], "iscrowd": 0, "category_id": 1,
+            "rot_axis": [200, 50, 200, 400], "tran_axis": None,
+            "normal": [0.0, 0.0, 1.0]})
+    ds = CocoIndex({"images": images, "annotations": annotations,
+                    "categories": [{"id": 1, "name": "arti_rot"},
+                                   {"id": 2, "name": "arti_tran"}]})
+    p = perfect_prediction("m0")
+    # prepend a higher-scored prediction with ~zero IoU against both GTs
+    p["instances"].insert(0, {"image_id": "m0", "category_id": 0,
+                              "bbox": [0, 300, 60, 60], "score": 0.999})
+    p["pred_rot_axis"] = np.concatenate([p["pred_rot_axis"]] * 2)
+    p["pred_tran_axis"] = np.concatenate([p["pred_tran_axis"]] * 2)
+    p["pred_plane"] = np.concatenate([p["pred_plane"]] * 2)
+
+    legacy = evaluate_for_arti_axis([p], ds, ARTI_META, filter_iou=0.7)
+    uniform = evaluate_for_arti_axis([p], ds, ARTI_META, filter_iou=0.7,
+                                     legacy_quirks=False)
+    # uniform rule drops the stray pred: 1 TP / 2 GTs -> AP 0.5
+    assert uniform["bbox - arti_rot"] == pytest.approx(0.5)
+    # legacy scores it as a top-ranked FP -> strictly lower AP
+    assert legacy["bbox - arti_rot"] < uniform["bbox - arti_rot"]
+
+
+def test_arti_single_gt_filter_identical_in_both_modes():
+    """With one GT per image the legacy pre-filter and the uniform rule
+    coincide (the reference's only well-defined case)."""
+    ds = make_gt_dataset(2)
+    p = perfect_prediction("img0")
+    p["instances"][0]["bbox"] = [400, 300, 100, 100]  # IoU 0 with GT
+    for quirks in (True, False):
+        m = evaluate_for_arti_axis([p], ds, ARTI_META, filter_iou=0.7,
+                                   legacy_quirks=quirks)
+        assert m["bbox - arti_rot"] == pytest.approx(0.0)
+
+
 def test_recognition_auroc():
     ds = make_gt_dataset(2)
     # 2 positive images detected, plus 2 absent-GT images with low scores
