@@ -25,6 +25,9 @@ from articulation3d_tpu.evaluation.goldens import (compare_goldens,
 from articulation3d_tpu.models.planercnn import init_params
 from articulation3d_tpu.train.checkpoint import port_detectron2_state_dict
 
+# slow tier: full-schema weight port + whole-model compile
+pytestmark = pytest.mark.slow
+
 H, W = 64, 80
 
 

@@ -12,6 +12,9 @@ from articulation3d_tpu.config import (Config, ModelConfig, InputConfig,
                                        DepthHeadConfig, ResNetConfig)
 from articulation3d_tpu.models import PlaneRCNN, init_params
 
+# slow tier: whole-model compile tests
+pytestmark = pytest.mark.slow
+
 
 def tiny_config(**model_kw) -> Config:
     model = ModelConfig(

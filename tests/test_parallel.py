@@ -23,6 +23,9 @@ from articulation3d_tpu.parallel import (batch_sharding, make_mesh,
                                          shard_batch)
 from articulation3d_tpu.parallel.dist import gather_predictions
 
+# slow tier: 8-device virtual mesh: every collective is a multi-second single-core rendezvous
+pytestmark = pytest.mark.slow
+
 H, W = 64, 80
 N_DEV = 8
 

@@ -15,6 +15,9 @@ from articulation3d_tpu.config import (Config, DepthHeadConfig, InputConfig,
 from articulation3d_tpu.data.catalog import (DatasetMetadata,
                                              register_dataset)
 
+# slow tier: full trainer loop integration (compiles the train step)
+pytestmark = pytest.mark.slow
+
 H, W = 128, 160
 
 

@@ -8,6 +8,9 @@ from articulation3d_tpu.models import PlaneRCNN, init_params
 from articulation3d_tpu.video import VideoPipeline, override_plane_offsets
 from tests.test_model import tiny_config
 
+# slow tier: whole-pipeline integration (compiles full inference)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipeline():
