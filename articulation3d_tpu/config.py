@@ -198,6 +198,10 @@ class SolverConfig:
     checkpoint_period: int = 1000
     clip_gradients: bool = False
     clip_value: float = 1.0
+    # the recipe's schedule was written for this many workers; 0 disables
+    # auto-scaling (reference `SOLVER.REFERENCE_WORLD_SIZE`,
+    # `config/config.yaml:332`, d2 `DefaultTrainer.auto_scale_workers`)
+    reference_world_size: int = 0
 
 
 @dataclass(frozen=True)
@@ -279,6 +283,38 @@ def _update_dataclass(obj, overrides: Mapping[str, Any]):
         else:
             kw[key] = _tuple(val)
     return dataclasses.replace(obj, **kw)
+
+
+def auto_scale_workers(cfg: Config, num_workers: int) -> Config:
+    """Linear-scaling-rule rewrite of the solver schedule for a new worker
+    count (detectron2 ``DefaultTrainer.auto_scale_workers`` semantics; the
+    reference only ships the knob, `config/config.yaml:332`).
+
+    If ``solver.reference_world_size`` is 0 or already equals
+    ``num_workers``, the config is returned unchanged.  Otherwise the total
+    batch grows with the worker count and LR scales linearly, while
+    iteration-denominated quantities (max_iter, warmup, decay steps, eval /
+    checkpoint periods) shrink so the same number of epochs is covered.
+    """
+    old = cfg.solver.reference_world_size
+    if old == 0 or old == num_workers:
+        return cfg
+    scale = num_workers / old
+    s = cfg.solver
+    solver = dataclasses.replace(
+        s,
+        ims_per_batch=int(round(s.ims_per_batch * scale)),
+        base_lr=s.base_lr * scale,
+        max_iter=int(round(s.max_iter / scale)),
+        warmup_iters=int(round(s.warmup_iters / scale)),
+        steps=tuple(int(round(x / scale)) for x in s.steps),
+        checkpoint_period=int(round(s.checkpoint_period / scale)),
+        reference_world_size=num_workers,
+    )
+    test = dataclasses.replace(cfg.test,
+                               eval_period=int(round(cfg.test.eval_period /
+                                                     scale)))
+    return dataclasses.replace(cfg, solver=solver, test=test)
 
 
 def load_config(yaml_path: str | None = None, overrides: Mapping[str, Any] | None = None) -> Config:

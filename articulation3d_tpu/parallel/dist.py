@@ -10,11 +10,39 @@ the evaluators work unchanged in tests and single-host runs.
 from __future__ import annotations
 
 import itertools
+import os
 import pickle
-from typing import List
+from typing import List, Optional
 
 import jax
 import numpy as np
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) runtime init — the launch-contract analog of the
+    reference's d2 ``launch(main, num_gpus, num_machines, machine_rank,
+    dist_url)`` (`tools/train_net.py:107-117`), minus the process fork: one
+    process per host, devices per host discovered by the backend.
+
+    Arguments fall back to the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``); with no explicit args and no env vars set this is a
+    no-op (single-host run).  Call before any other jax API touches the
+    backend.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return                                   # single-host: nothing to do
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def is_main_process() -> bool:

@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..config import Config
+from ..config import Config, auto_scale_workers
 from ..data.catalog import get_dataset_dicts, get_metadata
 from ..data.mapper import DetectionLoader, PlaneRCNNMapper, PrefetchLoader
 from ..parallel import make_mesh, replicate, shard_batch
@@ -26,7 +26,8 @@ from .checkpoint import (latest_checkpoint, load_checkpoint,
                          load_torch_state_dict, port_detectron2_state_dict,
                          save_checkpoint)
 from .optimizer import build_optimizer
-from .train_step import TrainState, create_train_state, make_train_step
+from .train_step import (TrainState, create_train_state, make_train_step,
+                         make_sharded_train_step)
 
 logger = logging.getLogger(__name__)
 
@@ -51,15 +52,25 @@ class Trainer:
 
     def __init__(self, cfg: Config, use_mesh: bool = True,
                  max_instances: int = 20):
+        self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+        # linear-scaling rule (d2 auto_scale_workers): one "worker" = one
+        # mesh device; the recipe's schedule is rewritten before anything
+        # reads it
+        n_workers = self.mesh.size if self.mesh is not None else 1
+        cfg = auto_scale_workers(cfg, n_workers)
         self.cfg = cfg
         rng = jax.random.PRNGKey(cfg.seed)
         self.model, self.state = create_train_state(cfg, rng)
         self.tx = build_optimizer(cfg, self.state.params)
-        self._step_fn = jax.jit(make_train_step(cfg, self.model, self.tx),
-                                donate_argnums=(0,))
-        self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
         if self.mesh is not None:
+            # one fused gradient psum per step (DDP-equivalent semantics)
+            self._step_fn = jax.jit(
+                make_sharded_train_step(cfg, self.model, self.tx, self.mesh),
+                donate_argnums=(0,))
             self.state = replicate(self.mesh, self.state)
+        else:
+            self._step_fn = jax.jit(make_train_step(cfg, self.model, self.tx),
+                                    donate_argnums=(0,))
 
         records: List[dict] = []
         for name in cfg.datasets_train:

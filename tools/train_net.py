@@ -41,12 +41,26 @@ def main():
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--max-iter", type=int, default=None,
                         help="override solver.max_iter")
+    # multi-host launch contract (reference d2 launch() --num-machines /
+    # --machine-rank / --dist-url, `tools/train_net.py:107-117`): one
+    # process per host; also honors JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    parser.add_argument("--dist-url", default=None,
+                        help="coordinator address host:port for multi-host "
+                             "runs (jax.distributed.initialize)")
+    parser.add_argument("--num-machines", type=int, default=None)
+    parser.add_argument("--machine-rank", type=int, default=None)
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
 
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+
+    from articulation3d_tpu.parallel import init_distributed
+    init_distributed(coordinator_address=args.dist_url,
+                     num_processes=args.num_machines,
+                     process_id=args.machine_rank)
 
     from articulation3d_tpu.config import load_config
     from articulation3d_tpu.train.trainer import Trainer
