@@ -35,8 +35,17 @@ BATCH = int(os.environ.get("ARTI3D_BENCH_BATCH", "32"))
 STEPS = 10
 
 
-def _pallas_parity_check() -> float:
-    """Max abs err of the Pallas ROIAlign vs the XLA formulation on-chip."""
+def _pallas_parity_check() -> dict:
+    """Max abs err of the Pallas ROIAlign vs the XLA formulation on-chip.
+
+    Three ROI populations (VERDICT r1 #7):
+      random    — uniform boxes (the bench's historical check);
+      aspect5   — adversarial 5:1 boxes at ~max sqrt-area for each level
+                  (worst in-contract case; must be exact);
+      aspect9   — out-of-contract 9:1 boxes at max p2 size; the kernel pools
+                  them from the bumped level, compared against the XLA
+                  pooler forced onto that level (must also be exact).
+    """
     from articulation3d_tpu.ops.roi_align import multilevel_roi_align
     from articulation3d_tpu.ops.roi_align_pallas import \
         multilevel_roi_align_pallas
@@ -44,6 +53,14 @@ def _pallas_parity_check() -> float:
     rs = np.random.RandomState(0)
     feats = [jnp.asarray(rs.randn(1, h, w, 256), jnp.float32)
              for h, w in [(120, 160), (60, 80), (30, 40), (15, 20)]]
+    kw = dict(strides=(4, 8, 16, 32), output_size=7, sampling_ratio=0,
+              aligned=True)
+
+    def xla(feature_list, b, **kws):
+        return jax.vmap(lambda f2, f3, f4, f5, bb: multilevel_roi_align(
+            [f2, f3, f4, f5], bb, **kws))(*feature_list, b)
+
+    errs = {}
     n = 64
     sizes = rs.uniform(20, 480, (1, n, 1))
     x1 = rs.uniform(0, 600, (1, n, 1))
@@ -51,12 +68,31 @@ def _pallas_parity_check() -> float:
     boxes = jnp.asarray(np.concatenate(
         [x1, y1, np.minimum(x1 + sizes, 640),
          np.minimum(y1 + sizes * 0.7, 480)], axis=2).astype(np.float32))
-    kw = dict(strides=(4, 8, 16, 32), output_size=7, sampling_ratio=0,
-              aligned=True)
-    ref = jax.vmap(lambda f2, f3, f4, f5, b: multilevel_roi_align(
-        [f2, f3, f4, f5], b, **kw))(*feats, boxes)
-    got = multilevel_roi_align_pallas(feats, boxes, **kw)
-    return float(jnp.max(jnp.abs(got - ref)))
+    errs["random"] = float(jnp.max(jnp.abs(
+        multilevel_roi_align_pallas(feats, boxes, **kw) - xla(feats, boxes, **kw))))
+
+    adv = []
+    for max_sqrt_area in (112.0, 224.0, 448.0):
+        s = max_sqrt_area * 0.99
+        for aspect in (5.0, 1.0 / 5.0):
+            w_, h_ = s * np.sqrt(aspect), s / np.sqrt(aspect)
+            for cx, cy in ((w_ / 2 + 1, h_ / 2 + 1), (320, 240)):
+                adv.append([cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2])
+    adv = np.asarray(adv, np.float32)[None]
+    adv[..., 0::2] = adv[..., 0::2].clip(0, 640)
+    adv[..., 1::2] = adv[..., 1::2].clip(0, 480)
+    adv = jnp.asarray(adv)
+    errs["aspect5"] = float(jnp.max(jnp.abs(
+        multilevel_roi_align_pallas(feats, adv, **kw) - xla(feats, adv, **kw))))
+
+    nine = jnp.asarray([[[10.0, 200.0, 344.0, 237.0],
+                         [200.0, 10.0, 237.0, 444.0]]], jnp.float32)
+    got9 = multilevel_roi_align_pallas(feats, nine, **kw)
+    ref9 = jax.vmap(lambda f3, bb: multilevel_roi_align(
+        [f3], bb, strides=(8,), output_size=7, sampling_ratio=0,
+        aligned=True, min_level=3))(feats[1], nine)
+    errs["aspect9_bumped_level"] = float(jnp.max(jnp.abs(got9 - ref9)))
+    return errs
 
 
 def main():
@@ -92,10 +128,12 @@ def main():
     # formulation before its throughput number means anything
     if jax.default_backend() == "tpu":
         try:
-            err = _pallas_parity_check()
-            print(f"# pallas roi_align parity max_err {err:.2e}",
-                  file=sys.stderr)
-            assert err < 1e-4, f"pallas kernel diverged from XLA: {err}"
+            errs = _pallas_parity_check()
+            for name, err in errs.items():
+                print(f"# pallas roi_align parity [{name}] max_err {err:.2e}",
+                      file=sys.stderr)
+                assert err < 1e-4, \
+                    f"pallas kernel diverged from XLA [{name}]: {err}"
         except Exception as e:
             print(f"# pallas parity check failed: {e}", file=sys.stderr)
             raise

@@ -130,20 +130,25 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PROFILE.md")
     backend = jax.default_backend()
+    table = [f"## Latest measured stage table (batch={b}, {backend})", "",
+             "| stage | ms/step | frames/s |", "|---|---|---|"]
+    table += [f"| {name} | {ms:.1f} | {fps:.1f} |" for name, ms, fps in rows]
+    block = "\n".join(table) + "\n"
+    begin, end = "<!-- profile:begin -->", "<!-- profile:end -->"
+    # update only the marked section so the hand-curated analysis/history in
+    # PROFILE.md survives re-runs
+    try:
+        text = open(out).read()
+    except FileNotFoundError:
+        text = f"# Inference profile\n\n{begin}\n{end}\n"
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + begin + "\n" + block + end + tail
+    else:
+        text += f"\n{begin}\n{block}{end}\n"
     with open(out, "w") as f:
-        f.write(f"# Inference profile (batch={b}, {backend}, 480x640)\n\n")
-        f.write("Per-stage wall time of the jitted program with warm "
-                "device-resident inputs;\nstages are cumulative prefixes of "
-                "the full cascade.\n\n")
-        f.write("| stage | ms/step | frames/s |\n|---|---|---|\n")
-        for name, ms, fps in rows:
-            f.write(f"| {name} | {ms:.1f} | {fps:.1f} |\n")
-        f.write("\nNotes:\n"
-                "- `full - (+rpn)` is the ROI stage (pool + box/mask/plane/"
-                "axis heads + NMS).\n"
-                "- `full - w/o depth` is the depth decoder cost.\n"
-                "- pallas vs xla pool rows isolate the ROIAlign kernel "
-                "speedup.\n")
+        f.write(text)
     print(f"wrote {out}")
 
 
