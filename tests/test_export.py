@@ -139,3 +139,78 @@ def test_writers(tmp_path):
     write_obj(verts, colors, faces, str(tmp_path / "a.obj"))
     assert (tmp_path / "a.ply").read_text().startswith("ply")
     assert "f 1 2 3" in (tmp_path / "a.obj").read_text()
+
+
+# --------------------------------------------------------------------------- #
+# quaternion world/local transforms (reference mesh_utils.py:34-125)
+# --------------------------------------------------------------------------- #
+
+def _rodrigues(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
+def _quat(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis])
+
+
+def test_quat_to_rotmat_matches_rodrigues():
+    from articulation3d_tpu.export import quat_to_rotmat
+    rs = np.random.RandomState(0)
+    for _ in range(5):
+        axis = rs.randn(3)
+        angle = rs.uniform(-np.pi, np.pi)
+        np.testing.assert_allclose(quat_to_rotmat(_quat(axis, angle)),
+                                   _rodrigues(axis, angle), atol=1e-6)
+
+
+def test_transform_meshes_round_trip_and_flip():
+    from articulation3d_tpu.export import TexturedMesh, transform_meshes
+    from articulation3d_tpu.export.transforms import transform_verts
+
+    rs = np.random.RandomState(1)
+    cam = {"position": np.array([0.5, -1.0, 2.0]),
+           "rotation": _quat([0.2, 0.9, -0.1], 0.7)}
+    mesh = TexturedMesh(rs.randn(7, 3).astype(np.float32),
+                        np.array([[0, 1, 2]]))
+    out = transform_meshes([mesh], cam)[0]
+    assert out.verts.shape == mesh.verts.shape
+    # matches the definition: R @ (v * [1,-1,-1]) + t
+    R = _rodrigues([0.2, 0.9, -0.1], 0.7)
+    expect = (R @ (mesh.verts * [1, -1, -1]).T).T + cam["position"]
+    np.testing.assert_allclose(out.verts, expect, atol=1e-5)
+    # identity pose = pure suncg2habitat flip
+    ident = {"position": np.zeros(3), "rotation": [1.0, 0, 0, 0]}
+    np.testing.assert_allclose(
+        transform_verts(mesh.verts, ident), mesh.verts * [1, -1, -1],
+        atol=1e-6)
+
+
+def test_plane_params_global_local_round_trip():
+    from articulation3d_tpu.export import (get_plane_params_in_global,
+                                           get_plane_params_in_local)
+    rs = np.random.RandomState(3)
+    cam = {"position": np.array([0.3, 0.8, -0.4]),
+           "rotation": _quat([1.0, 0.2, 0.5], -1.1)}
+    planes = rs.randn(6, 3).astype(np.float32) * 2.0
+    world = get_plane_params_in_global(planes, cam)
+    back = get_plane_params_in_local(world, cam)
+    np.testing.assert_allclose(back, planes, atol=1e-4)
+
+
+def test_rotate_mesh_for_webview_tilts_floor():
+    from articulation3d_tpu.export import (TexturedMesh,
+                                           rotate_mesh_for_webview)
+    mesh = TexturedMesh(np.eye(3, dtype=np.float32), np.array([[0, 1, 2]]))
+    out = rotate_mesh_for_webview([mesh])[0]
+    # pure x rotation: x axis unchanged, norms preserved
+    np.testing.assert_allclose(out.verts[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(out.verts, axis=1), 1.0,
+                               atol=1e-6)
+    assert abs(out.verts[1][1] - 0.9816272) < 1e-5
