@@ -63,3 +63,57 @@ def test_labeled_seg_overlays():
     vis2 = ArtiVisualizer(img)
     out2 = get_gt_labeled_seg(dic, vis2)
     assert not np.array_equal(out2, img)
+
+
+def test_render_img_shades_textured_plane(tmp_path):
+    """Debug renderer (reference arti_vis.py:410-465 analog): a textured
+    quad in front of the camera must cover pixels, sample its uv map, and
+    write render_0.png."""
+    import numpy as np
+    from articulation3d_tpu.export import TexturedMesh
+    from articulation3d_tpu.vis import render_img, render_meshes
+
+    verts = np.array([[-1, -1, 1.0], [1, -1, 1.0], [1, 1, 1.0], [-1, 1, 1.0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    uv_map = np.zeros((8, 8, 3), np.uint8)
+    uv_map[:, :, 0] = 255                                # pure red texture
+    mesh = TexturedMesh(verts, faces, uvs, uv_map)
+
+    img = render_meshes([mesh], image_size=(120, 160))
+    assert img.shape == (120, 160, 3)
+    center = img[60, 80]
+    assert center[0] > 0.3                               # lit red surface
+    assert center[0] > center[1] + 0.2                   # clearly red
+    # background stays white
+    assert np.allclose(img[0, 0], 1.0)
+
+    out = render_img(str(tmp_path), [mesh], image_size=(120, 160))
+    assert out.dtype == np.uint8
+    assert (tmp_path / "render_0.png").exists()
+
+
+def test_render_zbuffer_orders_faces():
+    """A near quad must occlude a far quad."""
+    import numpy as np
+    from articulation3d_tpu.export import TexturedMesh
+    from articulation3d_tpu.vis import render_meshes
+
+    def quad(z, red):
+        verts = np.array([[-0.5, -0.5, z], [0.5, -0.5, z], [0.5, 0.5, z],
+                          [-0.5, 0.5, z]], np.float32)
+        faces = np.array([[0, 1, 2], [0, 2, 3]])
+        uv = np.zeros((4, 4, 3), np.uint8)
+        uv[:, :, 0 if red else 2] = 255
+        uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        return TexturedMesh(verts, faces, uvs, uv)
+
+    img_near_red = render_meshes([quad(1.0, True), quad(2.0, False)],
+                                 image_size=(60, 80))
+    c = img_near_red[30, 40]
+    assert c[0] > c[2]                                   # red (near) wins
+    img_rev = render_meshes([quad(2.0, False), quad(1.0, True)],
+                            image_size=(60, 80))
+    c2 = img_rev[30, 40]
+    assert c2[0] > c2[2]                                 # order-independent
