@@ -77,9 +77,20 @@ def top_k(x: jnp.ndarray, k: int):
         default=lambda v: _sort_top_k(v, k))
 
 
+NMS_TILE = 32  # rows per serial step; a multiple of the 8-sublane register
+
+
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
              iou_threshold: float) -> jnp.ndarray:
     """Greedy NMS. Returns a bool keep mask aligned with the *input* order.
+
+    Exact greedy semantics, but tiled so the serial chain is N/32 loop steps
+    instead of N: a row-per-iteration `fori_loop` costs ~5us of while-loop
+    overhead per row on TPU (the RPN's 5 levels x 1000 rows + FastRCNN's
+    2000 alone were ~35ms of the 108 f/s round-1 profile).  Each tile step
+    resolves its 32 rows' mutual suppression with an unrolled data-flow
+    chain on (32,)-vectors, then suppresses all later rows with ONE
+    vectorized (32, N) reduction.
 
     Args:
       boxes: (N, 4) XYXY.
@@ -92,14 +103,42 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     sboxes = boxes[order]
     svalid = valid[order]
 
+    t = min(NMS_TILE, n)
+    n_pad = ((n + t - 1) // t) * t
+    if n_pad != n:
+        sboxes = jnp.concatenate(
+            [sboxes, jnp.zeros((n_pad - n, 4), sboxes.dtype)])
+        svalid = jnp.concatenate([svalid, jnp.zeros((n_pad - n,), bool)])
+
     iou = pairwise_iou(sboxes, sboxes)
+    sup = iou > iou_threshold
+    col_ids = jnp.arange(n_pad)
 
-    def body(i, keep):
-        row_live = keep[i] & svalid[i]
-        suppress = row_live & (iou[i] > iou_threshold) & (jnp.arange(n) > i)
-        return keep & ~suppress
+    def tile_body(k, keep):
+        base = k * t
+        # suppression rows of this tile against everything: (t, n_pad)
+        rows = jax.lax.dynamic_slice(sup, (base, 0), (t, n_pad))
+        live = jax.lax.dynamic_slice(keep, (base,), (t,))
+        # within-tile greedy chain, unrolled: row j survives iff no earlier
+        # surviving row in the tile suppresses it (earlier tiles are already
+        # folded into `keep`)
+        tile_cols = jax.lax.dynamic_slice(
+            rows, (0, base), (t, t))                       # (t, t) sup blk
+        live_rows = []
+        for j in range(t):
+            lj = live[j]
+            for i in range(j):
+                lj &= ~(live_rows[i] & tile_cols[i, j])
+            live_rows.append(lj)
+        live = jnp.stack(live_rows)                        # (t,)
+        # one vectorized pass: kill every later row suppressed by a
+        # surviving tile row
+        later = col_ids[None, :] > (base + jnp.arange(t))[:, None]
+        killed = jnp.any(live[:, None] & rows & later, axis=0)
+        keep = jax.lax.dynamic_update_slice(keep, live, (base,))
+        return keep & ~killed
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
+    keep_sorted = jax.lax.fori_loop(0, n_pad // t, tile_body, svalid)[:n]
     # scatter back to input order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep

@@ -25,23 +25,50 @@ def read_frames(path: str, height: int = 480, width: int = 640
             raise FileNotFoundError(path)
         return [cv2.resize(img, (width, height))], None
 
-    import imageio
-    reader = imageio.get_reader(path)
-    fps = reader.get_meta_data().get("fps", 30.0)
+    try:
+        import imageio
+        reader = imageio.get_reader(path)
+    except Exception:
+        reader = None                      # no ffmpeg backend: use OpenCV
+    if reader is not None:
+        fps = reader.get_meta_data().get("fps", 30.0)
+        frames = []
+        for im in reader:                  # imageio yields RGB
+            im = cv2.resize(im, (width, height))
+            frames.append(im[:, :, ::-1].copy())  # -> BGR
+        reader.close()
+        return frames, float(fps)
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     frames = []
-    for im in reader:                      # imageio yields RGB
-        im = cv2.resize(im, (width, height))
-        frames.append(im[:, :, ::-1].copy())  # -> BGR
-    reader.close()
+    while True:
+        ok, im = cap.read()                # cv2 yields BGR directly
+        if not ok:
+            break
+        frames.append(cv2.resize(im, (width, height)))
+    cap.release()
     return frames, float(fps)
 
 
 def write_video(path: str, frames: List[np.ndarray], fps: float = 30.0,
                 bgr: bool = True) -> None:
-    """Write (H, W, 3) uint8 frames to an mp4 (imageio/ffmpeg)."""
-    import imageio
+    """Write (H, W, 3) uint8 frames to an mp4 (imageio/ffmpeg, cv2 fallback)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    writer = imageio.get_writer(path, fps=fps)
+    try:
+        import imageio
+        writer = imageio.get_writer(path, fps=fps)
+    except Exception:
+        writer = None                      # no ffmpeg backend: use OpenCV
+    if writer is not None:
+        for f in frames:
+            writer.append_data(f[:, :, ::-1] if bgr else f)
+        writer.close()
+        return
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     for f in frames:
-        writer.append_data(f[:, :, ::-1] if bgr else f)
-    writer.close()
+        vw.write(np.ascontiguousarray(f if bgr else f[:, :, ::-1]))
+    vw.release()

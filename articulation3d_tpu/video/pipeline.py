@@ -37,6 +37,23 @@ from ..utils.camera import get_k_inv_dot_xy_1_eval
 from ..utils.coords import camera_to_plane, plane_to_camera
 
 
+def pack_masks_bits(masks: jnp.ndarray) -> jnp.ndarray:
+    """Pack bool masks (..., W) -> uint8 bitmaps (..., ceil(W/8)) on device.
+
+    Full-resolution masks dominate the device->host readback (100 dets x
+    480x640 bool = 30MB/frame); packing 8 pixels/byte on device cuts the
+    transfer 8x.  Host side: `np.unpackbits(arr, axis=-1, count=W)`
+    (big-endian bit order, matching unpackbits' default).
+    """
+    w = masks.shape[-1]
+    pad = (-w) % 8
+    if pad:
+        masks = jnp.pad(masks, [(0, 0)] * (masks.ndim - 1) + [(0, pad)])
+    grouped = masks.reshape(*masks.shape[:-1], (w + pad) // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (grouped.astype(jnp.uint8) * weights).sum(axis=-1).astype(jnp.uint8)
+
+
 def override_plane_offsets(planes: jnp.ndarray, full_masks: jnp.ndarray,
                            depth: jnp.ndarray, rays: jnp.ndarray) -> jnp.ndarray:
     """Per-image depth-based plane offset re-estimation (jit-safe).
@@ -101,16 +118,18 @@ def make_inference_step(config: Config, model: PlaneRCNN,
         if det.rot_axis is not None:
             result["rot_axis"] = det.rot_axis
             result["tran_axis"] = det.tran_axis
+        full = None
         if "full_masks" in out:
             # refine head already produced full-resolution masks
             full = out["full_masks"] >= 0.5
-            result["full_masks"] = full
         elif det.masks is not None:
             full = jax.vmap(lambda mk, bx, vl: paste_masks(
                 mk, bx, vl, out_h, out_w,
                 threshold=mcfg.mask_head.mask_threshold,
                 nms=mcfg.mask_head.nms))(det.masks, boxes, det.valid)
-            result["full_masks"] = full
+        if full is not None:
+            # readback as packed bitmaps (8 pixels/byte); host unpacks
+            result["full_masks_packed"] = pack_masks_bits(full)
         if "depth" in out:
             result["depth"] = out["depth"]
             # depth-based offset override needs depth and masks at the same
@@ -164,6 +183,10 @@ class VideoPipeline:
                 batch = jax.device_put(batch, batch_sharding(self.mesh))
             out = jax.tree_util.tree_map(np.asarray,
                                          self.step(self.variables, batch))
+            if "full_masks_packed" in out:
+                out["full_masks"] = np.unpackbits(
+                    out.pop("full_masks_packed"), axis=-1,
+                    count=self.output_width).astype(bool)
             for i in range(n_real):
                 preds.append(self._to_frame_prediction(out, i))
                 depths.append(out["depth"][i] if "depth" in out else None)

@@ -218,3 +218,19 @@ def test_preprocess_resizes():
     imgs = RNG.randint(0, 255, (1, 360, 720, 3)).astype(np.uint8)
     out = preprocess_images(jnp.asarray(imgs))
     assert out.shape == (1, 480, 640, 3)
+
+
+# ---------------------------------------------------------------------------
+# Packed mask readback
+# ---------------------------------------------------------------------------
+
+def test_pack_masks_bits_roundtrip():
+    """Device-side bit packing must invert exactly via np.unpackbits."""
+    from articulation3d_tpu.video.pipeline import pack_masks_bits
+    for w in (64, 61):  # 8-divisible and ragged widths
+        m = RNG.rand(2, 3, 16, w) > 0.5
+        packed = np.asarray(pack_masks_bits(jnp.asarray(m)))
+        assert packed.dtype == np.uint8
+        assert packed.shape == (2, 3, 16, (w + 7) // 8)
+        got = np.unpackbits(packed, axis=-1, count=w).astype(bool)
+        np.testing.assert_array_equal(got, m)
