@@ -72,12 +72,14 @@ class PlaneRCNN(nn.Module):
         return {k: v.astype(jnp.float32) for k, v in feats.items()}
 
     def _pool(self, features, boxes, *, resolution, sampling_ratio, aligned,
-              training: bool = False):
+              training: bool = False, valid=None):
         """Multilevel ROIAlign over the batch.
 
         features: {p2..p5: (B, H, W, C)}, boxes: (B, N, 4) -> (B, N, P, P, C).
         On TPU the Pallas window-DMA kernel runs (inference path); training
         and CPU use the XLA gather formulation (autodiff-able).
+        `valid` (B, N): padded ROIs pool to zeros at zero cost (their
+        downstream head outputs are masked out anyway).
         """
         roi_feats = [features[f] for f in self.config.model.roi_heads.in_features]
         impl = self.config.model.roi_pooler_impl
@@ -93,7 +95,7 @@ class PlaneRCNN(nn.Module):
             return multilevel_roi_align_pallas(
                 roi_feats, boxes, strides=ROI_STRIDES,
                 output_size=resolution, sampling_ratio=sampling_ratio,
-                aligned=aligned)
+                aligned=aligned, valid=valid)
 
         def per_image(feats, bxs):
             return multilevel_roi_align(
@@ -139,7 +141,7 @@ class PlaneRCNN(nn.Module):
             pooled = self._pool(feats, proposals["boxes"],
                                 resolution=mcfg.box_head.pooler_resolution,
                                 sampling_ratio=mcfg.box_head.pooler_sampling_ratio,
-                                aligned=True)
+                                aligned=True, valid=proposals["valid"])
             scores, deltas = self.box_head(pooled.reshape(b * k, *pooled.shape[2:]))
             scores = scores.reshape(b, k, -1)
             deltas = deltas.reshape(b, k, -1)
@@ -161,7 +163,7 @@ class PlaneRCNN(nn.Module):
             mp = self._pool(feats, dets["boxes"],
                             resolution=mcfg.mask_head.pooler_resolution,
                             sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
-                            aligned=False)
+                            aligned=False, valid=dets["valid"])
             logits = self.mask_head(mp.reshape(b * d, *mp.shape[2:]))
             m = logits.shape[1]
             probs = jax.nn.sigmoid(logits)
@@ -177,7 +179,7 @@ class PlaneRCNN(nn.Module):
             pp = self._pool(feats, dets["boxes"],
                             resolution=mcfg.plane_head.pooler_resolution,
                             sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
-                            aligned=False)
+                            aligned=False, valid=dets["valid"])
             flat = pp.reshape(b * d, *pp.shape[2:])
             if mcfg.plane_on:
                 planes = self.plane_head(flat)

@@ -103,7 +103,14 @@ def _separable_weights(coord, mask, n_s, size, origin, win_n):
     return w / jnp.maximum(n_s, 1)[:, None, None].astype(jnp.float32)
 
 
-GROUP = 2     # ROIs per grid step = DMA pipeline depth (slots are STATIC)
+def _group_size(dtype) -> int:
+    """ROIs per grid step = DMA pipeline depth (slots are STATIC).
+
+    Deeper grouping amortizes the fixed per-grid-step cost (~3-4us even for
+    fully predicated-out slots); bf16 windows fit 4 slots in VMEM, f32 only
+    2 (GROUP=4 f32 overflows VMEM and fails the remote TPU compile).
+    """
+    return 4 if dtype == jnp.bfloat16 else 2
 
 
 def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
@@ -125,6 +132,7 @@ def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
     feats = (f2_ref, f3_ref, f4_ref, f5_ref)
     c = win.shape[-1]
     p = ry_ref.shape[2]
+    group = win.shape[0]
 
     def start_dmas(roi, g):
         level = level_ref[roi]
@@ -144,11 +152,11 @@ def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
 
     @pl.when(k == 0)
     def _prologue():
-        for g in range(GROUP):
+        for g in range(group):
             start_dmas(g, g)
 
-    for g in range(GROUP):
-        roi = k * GROUP + g
+    for g in range(group):
+        roi = k * group + g
         out_ref[g] = jnp.zeros_like(out_ref[g])
         for ty in range(N_TILES):
             for tx in range(N_TILES):
@@ -191,12 +199,12 @@ def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
         # refill slot g for the next group only after computing from it
         @pl.when(k + 1 < n_groups)
         def _prefetch(g=g, roi=roi):
-            start_dmas(roi + GROUP, g)
+            start_dmas(roi + group, g)
 
 
 def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
              strides: Sequence[int], output_size: int, sampling_ratio: int,
-             aligned: bool, min_level: int = 2):
+             aligned: bool, min_level: int = 2, valid=None):
     """Host-side (cheap XLA) prologue shared by the kernel launch and the
     CPU emulation in tests: level assignment, window origins/extents, and
     the per-ROI separable weight matrices."""
@@ -301,6 +309,12 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     need_x = jnp.floor(x_max).astype(jnp.int32) + 2 - x0
     nty = jnp.clip((need_y + TILE_Y - 1) // TILE_Y, 1, N_TILES).astype(jnp.int32)
     ntx = jnp.clip((need_x + TILE_X - 1) // TILE_X, 1, N_TILES).astype(jnp.int32)
+    if valid is not None:
+        # invalid (padded) ROIs: zero tiles -> the kernel's `ty < nty`
+        # predicate skips both the window DMAs and the matmuls, so the
+        # pool's cost tracks the VALID ROI count (outputs stay zero and are
+        # masked out downstream anyway)
+        nty = jnp.where(valid.reshape(total), nty, 0)
 
     ry = _separable_weights(ys, y_mask, n_sh, heights, y0, span_y)
     rx = _separable_weights(xs, x_mask, n_sw, widths, x0, span_x)
@@ -317,16 +331,22 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                 boxes: jnp.ndarray, *,
                                 strides: Sequence[int], output_size: int,
                                 sampling_ratio: int, aligned: bool,
-                                min_level: int = 2) -> jnp.ndarray:
+                                min_level: int = 2,
+                                valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched FPN ROIAlign: features (B, H_l, W_l, C) x4, boxes (B, N, 4)
-    -> (B, N, P, P, C) float32."""
+    -> (B, N, P, P, C) float32.
+
+    `valid` (B, N) bool, optional: invalid ROIs produce zeros and cost
+    nothing (their window DMAs and matmuls are predicated out), so heavily
+    padded ROI sets pool in time proportional to the valid count.
+    """
     bsz, n = boxes.shape[:2]
     c = features[0].shape[-1]
     p = output_size
     total = bsz * n
     pr = _prepare(features, boxes, strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
-                  min_level=min_level)
+                  min_level=min_level, valid=valid)
     levels, batch_ids = pr["levels"], pr["batch_ids"]
     y0, x0, nty, ntx = pr["y0"], pr["x0"], pr["nty"], pr["ntx"]
     ry, rx, padded = pr["ry"], pr["rx"], pr["padded"]
@@ -335,26 +355,27 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
         # take the single-pass bf16 MXU path
         ry, rx = ry.astype(jnp.bfloat16), rx.astype(jnp.bfloat16)
 
-    # pad the ROI count to a multiple of GROUP with dummy one-tile ROIs
+    group = _group_size(features[0].dtype)
+    # pad the ROI count to a multiple of the group with dummy zero-tile ROIs
     # (level 0, image 0, origin 0) so every grid step is full
-    total_p = ((total + GROUP - 1) // GROUP) * GROUP
+    total_p = ((total + group - 1) // group) * group
     if total_p != total:
         extra = total_p - total
         pad1 = lambda a, v: jnp.concatenate(
             [a, jnp.full((extra,) + a.shape[1:], v, a.dtype)])
         levels, batch_ids = pad1(levels, 0), pad1(batch_ids, 0)
         y0, x0 = pad1(y0, 0), pad1(x0, 0)
-        nty, ntx = pad1(nty, 1), pad1(ntx, 1)
+        nty, ntx = pad1(nty, 0), pad1(ntx, 1)   # 0 tiles: dummies cost nothing
         ry, rx = pad1(ry, 0), pad1(rx, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(total_p // GROUP,),
+        grid=(total_p // group,),
         in_specs=[
-            pl.BlockSpec((GROUP, N_TILES, p, TILE_Y),
+            pl.BlockSpec((group, N_TILES, p, TILE_Y),
                          lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, N_TILES, p, TILE_X),
+            pl.BlockSpec((group, N_TILES, p, TILE_X),
                          lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -362,15 +383,15 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((GROUP, p, p, c),
+        out_specs=pl.BlockSpec((group, p, p, c),
                                lambda k, *_: (k, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # GROUP static slots x 2x2 tiles: windows for group k (compute)
+            # `group` static slots x 2x2 tiles: windows for group k (compute)
             # refilled with group k+1's as each slot finishes
-            pltpu.VMEM((GROUP, N_TILES, N_TILES, TILE_Y, TILE_X, c),
+            pltpu.VMEM((group, N_TILES, N_TILES, TILE_Y, TILE_X, c),
                        features[0].dtype),
-            pltpu.SemaphoreType.DMA((GROUP, N_TILES, N_TILES)),
+            pltpu.SemaphoreType.DMA((group, N_TILES, N_TILES)),
         ],
     )
 
