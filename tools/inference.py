@@ -14,6 +14,7 @@ import argparse
 import os
 import random
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,12 +82,17 @@ def main():
     shortened = {"arti_rot": "R", "arti_tran": "T"}
     cls_name_map = [shortened[c] for c in metadata.thing_classes]
 
+    t0 = time.time()
     frames, fps = read_frames(args.input, config.input.height,
                               config.input.width)
     is_video = fps is not None
-    print(f"decoded {len(frames)} frames")
+    t1 = time.time()
+    print(f"decoded {len(frames)} frames ({t1 - t0:.1f}s)")
 
     preds = pipeline.run(frames)
+    t2 = time.time()
+    print(f"inference: {t2 - t1:.1f}s "
+          f"({len(frames) / (t2 - t1):.1f} frames/s incl. compile+readback)")
 
     # pre-optimization visualization
     org_vis_list = []
@@ -102,9 +108,11 @@ def main():
         org_vis_list.append(np.concatenate((seg, normal_vis), axis=1))
 
     # temporal optimization
+    t3 = time.time()
     planes = track_planes(preds)
     opt_preds = optimize_planes(preds, planes, "3dc", frames=frames,
                                 h=config.input.height, w=config.input.width)
+    print(f"track+optimize: {time.time() - t3:.1f}s ({len(planes)} tracks)")
 
     out_frames = []
     for im, p, org in zip(frames, opt_preds, org_vis_list):
@@ -117,6 +125,7 @@ def main():
             normal_vis = get_normal_map(p.planes, p.masks)
         out_frames.append(np.concatenate((seg, normal_vis, org), axis=1))
 
+    t4 = time.time()
     if is_video:
         write_video(os.path.join(args.output, "output.mp4"), out_frames,
                     fps=fps, bgr=False)
@@ -124,15 +133,16 @@ def main():
         import cv2
         cv2.imwrite(os.path.join(args.output, "output.png"),
                     out_frames[0][:, :, ::-1])
-    print(f"wrote visualization to {args.output}")
+    print(f"wrote visualization to {args.output} ({time.time() - t4:.1f}s)")
 
     if args.save_obj:
+        t5 = time.time()
         from articulation3d_tpu.export import save_obj_model
         for frame_id in [0, 30, 60, 89]:
             if frame_id < len(frames):
                 save_obj_model(opt_preds, frames, frame_id, args.output,
                                webvis=args.webvis)
-        print("wrote .obj models")
+        print(f"wrote .obj models ({time.time() - t5:.1f}s)")
 
 
 if __name__ == "__main__":
