@@ -202,6 +202,11 @@ class SolverConfig:
     # auto-scaling (reference `SOLVER.REFERENCE_WORLD_SIZE`,
     # `config/config.yaml:332`, d2 `DefaultTrainer.auto_scale_workers`)
     reference_world_size: int = 0
+    # dtype of the fused gradient all-reduce ("float32" | "bfloat16"):
+    # bf16 gradient compression halves the per-step collective payload
+    # (ICI on TPU, Gloo on CPU meshes); grads are averaged in the sync
+    # dtype and cast back before the optimizer update
+    grad_sync_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -179,11 +179,35 @@ def make_sharded_train_step(config: Config, model: PlaneRCNN,
         metrics = dict(losses)
         metrics["total_loss"] = total
 
-        # ONE collective: ravel grads + BN stats + metrics into a flat f32
-        # vector, psum, unravel
-        flat, unravel = ravel_pytree((grads, new_stats, metrics))
-        flat = jax.lax.psum(flat, axis_name) / n_dev
-        grads, new_stats, metrics = unravel(flat)
+        # ONE collective: ravel TRAINABLE grads + BN stats + metrics into a
+        # flat f32 vector, psum, unravel.  Frozen-parameter grads are never
+        # synced: the optimizer zeroes their updates (`optax.set_to_zero`),
+        # so replication of the params is preserved while the collective
+        # payload shrinks to the trainable set — on the reference's stage-2/3
+        # freeze recipes that halves the per-step ICI traffic.
+        from .optimizer import freeze_mask
+        tmask = jax.tree_util.tree_leaves(
+            freeze_mask(state.params, config.model.freeze))
+        gleaves, gdef = jax.tree_util.tree_flatten(grads)
+        synced = [g for g, t in zip(gleaves, tmask) if t]
+        if config.solver.grad_sync_dtype == "bfloat16":
+            # bf16 gradient compression: grads averaged in bf16 (halves the
+            # collective payload), stats/metrics synced exactly in a second,
+            # tiny collective
+            gflat, gunravel = ravel_pytree(synced)
+            gflat = jax.lax.psum(gflat.astype(jnp.bfloat16),
+                                 axis_name).astype(jnp.float32) / n_dev
+            synced = gunravel(gflat)
+            mflat, munravel = ravel_pytree((new_stats, metrics))
+            mflat = jax.lax.psum(mflat, axis_name) / n_dev
+            new_stats, metrics = munravel(mflat)
+        else:
+            flat, unravel = ravel_pytree((synced, new_stats, metrics))
+            flat = jax.lax.psum(flat, axis_name) / n_dev
+            synced, new_stats, metrics = unravel(flat)
+        synced = iter(synced)
+        gleaves = [next(synced) if t else g for g, t in zip(gleaves, tmask)]
+        grads = jax.tree_util.tree_unflatten(gdef, gleaves)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
