@@ -129,6 +129,7 @@ def test_refine_accumulate_excludes_invalid():
     np.testing.assert_allclose(np.asarray(out[1, :, :, 2:]), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow  # whole-model train_forward compile: 209s of a 380s tier
 def test_refine_train_forward_end_to_end():
     """refine_on=True: train_forward emits refine outputs and the loss is
     differentiable into the refine params."""
