@@ -65,6 +65,9 @@ from .roi_align import _sample_coords, assign_boxes_to_levels
 TILE_Y = 32   # rows per window tile (dynamic y offsets are unconstrained)
 TILE_X = 40   # cols per tile (x origin 8-aligned; 40 = 32 + 8 slack)
 N_TILES = 2   # tiles per axis -> 64 x 80 cell coverage
+# per-launch ROI cap: six int32 scalar-prefetch arrays (24B/ROI) must fit
+# the 1MB SMEM; larger batches recurse over image chunks
+MAX_ROIS_PER_LAUNCH = 32768
 
 
 def _separable_weights(coord, mask, n_s, size, origin, win_n):
@@ -344,6 +347,22 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     c = features[0].shape[-1]
     p = output_size
     total = bsz * n
+    # SMEM holds the six scalar-prefetch arrays (24B/ROI) in a 1MB space:
+    # above ~32k ROIs per launch (batch 64 x 1000 proposals) the compile
+    # fails "ran out of memory in memory space smem" — recurse over image
+    # chunks (each launch sees a contiguous slice of the batch)
+    if total > MAX_ROIS_PER_LAUNCH and bsz > 1:
+        img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
+        kw = dict(strides=strides, output_size=output_size,
+                  sampling_ratio=sampling_ratio, aligned=aligned,
+                  min_level=min_level)
+        outs = []
+        for s in range(0, bsz, img_chunk):
+            e = min(s + img_chunk, bsz)
+            outs.append(multilevel_roi_align_pallas(
+                [f[s:e] for f in features], boxes[s:e],
+                valid=None if valid is None else valid[s:e], **kw))
+        return jnp.concatenate(outs, axis=0)
     pr = _prepare(features, boxes, strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
                   min_level=min_level, valid=valid)

@@ -29,9 +29,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_FPS_ESTIMATE = 5.0   # reference batch-1 per-frame GPU loop, see docstring
 # frames per device batch (video frames = batch axis); measured sweep on
-# v5e (current kernel): B=8 48 f/s, B=16 65, B=32 108.  Overridable for
-# sweeps: ARTI3D_BENCH_BATCH=64 python bench.py
-BATCH = int(os.environ.get("ARTI3D_BENCH_BATCH", "32"))
+# v5e (current kernel): B=8 48 f/s, B=16 65, B=32 118.5, B=64 132.9.
+# Overridable for sweeps: ARTI3D_BENCH_BATCH=32 python bench.py
+BATCH = int(os.environ.get("ARTI3D_BENCH_BATCH", "64"))
 STEPS = 10
 
 
