@@ -364,6 +364,26 @@ def inference_config() -> Config:
     )
 
 
+def serving_config() -> Config:
+    """Deployment preset: parity math, trimmed padded capacity.
+
+    The d2-parity caps (1000 post-NMS proposals, 100 detections/image —
+    reference `config/config.yaml:221-226`) size the ROI stage for a padded
+    capacity no real frame comes near (arti scenes carry well under 20
+    instances).  Serving halves the box-stage ROI set (post-NMS 500) and
+    pools the mask/plane/axis cascade on 30 final boxes instead of 100.
+    Per-box outputs are IDENTICAL to the parity config for every box both
+    keep — only the tail capacity is dropped.  Parity-vs-speed numbers:
+    PROFILE.md "Serving preset".
+    """
+    cfg = inference_config()
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model,
+        rpn=dataclasses.replace(cfg.model.rpn, post_nms_topk_test=500),
+        roi_heads=dataclasses.replace(cfg.model.roi_heads,
+                                      detections_per_image=30)))
+
+
 def step1_bbox_config() -> Config:
     """Stage 1: detector only (reference `config/step1_bbox.yaml`)."""
     return Config(

@@ -51,6 +51,23 @@ def resize_bilinear(img: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return out if batched else out[0]
 
 
+def sem_seg_postprocess(result: jnp.ndarray, img_size: Tuple[int, int],
+                        output_height: int, output_width: int) -> jnp.ndarray:
+    """Semantic-segmentation logits (C, H, W) -> (C, out_h, out_w).
+
+    Equivalent of the reference's `sem_seg_postprocess`
+    (articulation3d/modeling/postprocessing.py:77-98): crop off the
+    size-divisibility padding to `img_size`, then bilinear-resize to the
+    original resolution (half-pixel centers == `F.interpolate(...,
+    align_corners=False)`).  Unused by the PlaneRCNN flow — provided for
+    API completeness.
+    """
+    cropped = result[:, :img_size[0], :img_size[1]]
+    out = resize_bilinear(jnp.transpose(cropped, (1, 2, 0)).astype(jnp.float32),
+                          output_height, output_width)
+    return jnp.transpose(out, (2, 0, 1))
+
+
 @partial(jax.jit, static_argnames=("height", "width", "size_divisibility"))
 def preprocess_images(images: jnp.ndarray,
                       pixel_mean: Tuple[float, float, float] = (103.53, 116.28, 123.675),

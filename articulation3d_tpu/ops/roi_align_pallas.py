@@ -351,18 +351,27 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     # above ~32k ROIs per launch (batch 64 x 1000 proposals) the compile
     # fails "ran out of memory in memory space smem" — recurse over image
     # chunks (each launch sees a contiguous slice of the batch)
-    if total > MAX_ROIS_PER_LAUNCH and bsz > 1:
-        img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
+    if total > MAX_ROIS_PER_LAUNCH:
         kw = dict(strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
                   min_level=min_level)
         outs = []
-        for s in range(0, bsz, img_chunk):
-            e = min(s + img_chunk, bsz)
+        if bsz > 1:
+            img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
+            for s in range(0, bsz, img_chunk):
+                e = min(s + img_chunk, bsz)
+                outs.append(multilevel_roi_align_pallas(
+                    [f[s:e] for f in features], boxes[s:e],
+                    valid=None if valid is None else valid[s:e], **kw))
+            return jnp.concatenate(outs, axis=0)
+        # single image with an oversized ROI set: chunk over the ROI axis
+        # (each launch pools a contiguous slice of the boxes)
+        for s in range(0, n, MAX_ROIS_PER_LAUNCH):
+            e = min(s + MAX_ROIS_PER_LAUNCH, n)
             outs.append(multilevel_roi_align_pallas(
-                [f[s:e] for f in features], boxes[s:e],
-                valid=None if valid is None else valid[s:e], **kw))
-        return jnp.concatenate(outs, axis=0)
+                features, boxes[:, s:e],
+                valid=None if valid is None else valid[:, s:e], **kw))
+        return jnp.concatenate(outs, axis=1)
     pr = _prepare(features, boxes, strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
                   min_level=min_level, valid=valid)

@@ -191,12 +191,16 @@ def make_sharded_train_step(config: Config, model: PlaneRCNN,
         gleaves, gdef = jax.tree_util.tree_flatten(grads)
         synced = [g for g, t in zip(gleaves, tmask) if t]
         if config.solver.grad_sync_dtype == "bfloat16":
-            # bf16 gradient compression: grads averaged in bf16 (halves the
-            # collective payload), stats/metrics synced exactly in a second,
-            # tiny collective
+            # bf16 gradient compression: halves the collective payload, but
+            # the cross-device ACCUMULATION itself is bf16 (not just the
+            # transport) — pre-scaling by 1/n_dev bounds partial-sum
+            # magnitude growth, yet the mean still carries bf16's 8-bit
+            # mantissa.  Fine at 2-8 devices; keep the float32 default for
+            # large meshes.  Stats/metrics sync exactly in a second, tiny
+            # f32 collective.
             gflat, gunravel = ravel_pytree(synced)
-            gflat = jax.lax.psum(gflat.astype(jnp.bfloat16),
-                                 axis_name).astype(jnp.float32) / n_dev
+            gflat = jax.lax.psum((gflat / n_dev).astype(jnp.bfloat16),
+                                 axis_name).astype(jnp.float32)
             synced = gunravel(gflat)
             mflat, munravel = ravel_pytree((new_stats, metrics))
             mflat = jax.lax.psum(mflat, axis_name) / n_dev

@@ -28,8 +28,15 @@ def read_frames(path: str, height: int = 480, width: int = 640
     try:
         import imageio
         reader = imageio.get_reader(path)
-    except Exception:
-        reader = None                      # no ffmpeg backend: use OpenCV
+    except ImportError:
+        reader = None                      # no imageio/ffmpeg: use OpenCV
+    except ValueError as e:
+        # imageio signals a missing backend plugin as ValueError ("Could not
+        # find a backend to open ..."); genuine decode errors on a corrupt
+        # file must propagate, not silently reroute into the cv2 fallback
+        if "backend" not in str(e).lower() and "ffmpeg" not in str(e).lower():
+            raise
+        reader = None
     if reader is not None:
         fps = reader.get_meta_data().get("fps", 30.0)
         frames = []

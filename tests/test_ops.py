@@ -220,6 +220,21 @@ def test_preprocess_resizes():
     assert out.shape == (1, 480, 640, 3)
 
 
+def test_sem_seg_postprocess_matches_torch():
+    """Crop-then-resize must match the reference's F.interpolate
+    (align_corners=False) semantics (modeling/postprocessing.py:77-98)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from articulation3d_tpu.ops import sem_seg_postprocess
+    logits = RNG.randn(5, 64, 96).astype(np.float32)  # padded (C, H, W)
+    img_size, out_hw = (60, 90), (120, 180)
+    got = np.asarray(sem_seg_postprocess(jnp.asarray(logits), img_size, *out_hw))
+    want = F.interpolate(
+        torch.from_numpy(logits[:, :img_size[0], :img_size[1]])[None],
+        size=out_hw, mode="bilinear", align_corners=False)[0].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Packed mask readback
 # ---------------------------------------------------------------------------

@@ -202,6 +202,44 @@ def test_extreme_aspect_pools_exactly_from_bumped_level():
                                err_msg="bumped-level pooling (p3)")
 
 
+def test_top_level_overflow_edge_snap_bound():
+    """A near-image-sized >8:1 sliver on a WIDE image overflows the 64x80
+    window even at the TOP level (there is no coarser level to bump to) and
+    takes the documented defensive edge-snap fallback
+    (`_separable_weights`): output bins whose samples stay inside the window
+    remain EXACT, and the overflowing tail bins degrade to a bounded
+    nearest-cell approximation instead of silently dropping weight."""
+    import jax.numpy as jnp
+    from articulation3d_tpu.ops.roi_align import assign_boxes_to_levels
+    from articulation3d_tpu.ops.roi_align_pallas import _prepare
+
+    rs = np.random.RandomState(4)
+    # 2816x480 image -> p5 is 15 x 88 cells: WIDER than the 80-cell window
+    feats = [jnp.asarray(rs.randn(1, h, w, 8), jnp.float32)
+             for h, w in [(120, 704), (60, 352), (30, 176), (15, 88)]]
+    # 2800 x 300 px sliver (9.3:1): sqrt(area) = 917 -> level 5; 87.5 cells
+    # wide on p5 > 80
+    boxes = jnp.asarray([[[8.0, 100.0, 2808.0, 400.0]]], jnp.float32)
+    assert int(assign_boxes_to_levels(boxes[0])[0]) == 5
+    pr = _prepare(feats, boxes, strides=(4, 8, 16, 32), output_size=7,
+                  sampling_ratio=0, aligned=True)
+    assert int(np.asarray(pr["levels"])[0]) == 3  # stayed on p5: no bump
+
+    emu = _emulate_pallas(feats, boxes, p=7, sr=0, aligned=True)
+    ref = _xla_ref(feats, boxes, p=7, sr=0, aligned=True)
+    assert np.all(np.isfinite(emu))
+    # the window covers cells [0, 80) of the ROI's 87.5: bins 0..5 span
+    # cells [0, 75] (12.5 cells/bin), every bilinear tap <= cell 76 -> EXACT;
+    # bin 6's tail samples land past cell 80 and snap to the window edge
+    np.testing.assert_allclose(emu[0, 0, :, :6], ref[0, 0, :, :6], atol=1e-4)
+    tail_err = np.abs(emu[0, 0, :, 6] - ref[0, 0, :, 6]).max()
+    # both values are convex averages of p5 cells, so the approximation is
+    # bounded by the value spread of the level itself — never unbounded
+    bound = 2.0 * float(np.abs(np.asarray(feats[3])).max())
+    assert tail_err < bound, (tail_err, bound)
+    assert tail_err > 1e-4            # the fallback actually engaged
+
+
 def test_in_contract_boxes_never_bump():
     """<=5:1 boxes at max level size keep their sqrt-area level (the bump
     must not perturb the exact in-contract path)."""

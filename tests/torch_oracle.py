@@ -533,6 +533,60 @@ class PlaneRCNNOracle(nn.Module):
         return out
 
 
+def he_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Synthetic full-schema d2 state dict with He-ish scaling so activations
+    stay O(1) through the 50-layer trunk (pure-random 0.05x weights collapse
+    all activations to ~0 and make every parity comparison trivially pass).
+
+    Deterministic from `seed` via np.random.RandomState, so the goldens
+    fixture producer (tools/make_goldens_oracle.py) and its consumer test can
+    regenerate the SAME weights without committing a 180MB .pth.
+    """
+    from articulation3d_tpu.evaluation.goldens import full_d2_key_shapes
+
+    rs = np.random.RandomState(seed)
+    out = {}
+    for k, s in full_d2_key_shapes().items():
+        if k.endswith("running_var"):
+            out[k] = rs.uniform(0.5, 1.5, s).astype(np.float32)
+        elif k.endswith("running_mean"):
+            out[k] = (rs.randn(*s) * 0.1).astype(np.float32)
+        elif ".norm.weight" in k or (k.endswith(".1.weight") and "depth_head" in k) \
+                or (k.endswith(".2.weight") and "depth_head" in k):
+            out[k] = rs.uniform(0.6, 1.1, s).astype(np.float32)
+        elif k.endswith("num_batches_tracked"):
+            out[k] = np.zeros(s, np.int64)
+        elif k.endswith(".bias") or ".norm.bias" in k:
+            out[k] = (rs.randn(*s) * 0.05).astype(np.float32)
+        elif len(s) == 4:                       # conv / deconv kernels
+            fan_in = s[1] * s[2] * s[3]
+            if "deconv" in k and "depth_head" not in k:
+                fan_in = s[0] * s[2] * s[3]     # ConvTranspose (in, out, k, k)
+            out[k] = (rs.randn(*s) * 0.8 * np.sqrt(2.0 / fan_in)).astype(np.float32)
+        elif len(s) == 2:                       # linear (out, in)
+            out[k] = (rs.randn(*s) * np.sqrt(2.0 / s[1])).astype(np.float32)
+        else:                                   # anchor buffers etc
+            out[k] = rs.randn(*s).astype(np.float32)
+        # box-regression deltas must stay small: He-scale deltas shift
+        # proposals ~anchor-widths outside the tiny test image, so every box
+        # clips to zero area and both models emit 0 proposals/detections
+        # ... and classification logits must not saturate the softmax to a
+        # hard one-hot (the box-head features reach std ~400, so even mildly
+        # scaled cls weights give |logit| > 10: every proposal scores 1.0
+        # background and no detection survives)
+        if "anchor_deltas" in k:
+            out[k] = (out[k] * 0.02).astype(np.float32)
+        elif "bbox_pred" in k or "cls_score" in k:
+            out[k] = (out[k] * 0.002).astype(np.float32)
+        # depth-head BNs run on RANDOM running stats (eval mode), so they
+        # don't normalize actual activations; the He conv gain compounds to
+        # ~1e15 over the 15-layer decoder.  Damp convs so the per-layer gain
+        # is ~1 and the depth output stays O(1)-comparable.
+        elif "depth_head" in k and len(s) == 4:
+            out[k] = (out[k] * 0.1).astype(np.float32)
+    return out
+
+
 def preprocess(image_bgr: np.ndarray, pixel_mean=(103.53, 116.28, 123.675),
                pixel_std=(1.0, 1.0, 1.0), size_divisibility=32) -> torch.Tensor:
     """Reference preprocess_image (planercnn.py:188-196): normalize, pad."""
