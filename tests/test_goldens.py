@@ -158,7 +158,10 @@ def test_committed_oracle_fixture_via_compare_goldens(tmp_path):
     for k in ("masks_max_err", "planes_max_err", "rot_axis_max_err",
               "tran_axis_max_err"):
         assert report[k] < 0.05, (k, report)
-    assert report["depth_max_err"] < 0.05, report
+    # the synthetic depth decoder emits O(1e6) values (eval-mode BNs on
+    # random running stats): scale-aware bound, as in test_torch_oracle
+    depth_scale = 1.0 + float(np.abs(goldens["depth"]).max())
+    assert report["depth_max_err"] < 2e-4 * depth_scale, report
 
 
 def test_match_detections_greedy():
