@@ -40,6 +40,12 @@ class ResNetConfig:
     width_per_group: int = 64
     freeze_at: int = 2            # stages <= freeze_at get stop_gradient
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    # rematerialize each bottleneck on the backward pass (jax.checkpoint):
+    # keeps only block I/O activations live, ~3x less backbone activation
+    # HBM for ~1 extra backbone forward — the standard TPU memory/FLOPs
+    # trade for large training batches (stage-1 at ims/batch 16 on one v5e
+    # OOMs without it)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -98,9 +98,13 @@ class PlaneRCNN(nn.Module):
                 aligned=aligned, valid=valid)
 
         def per_image(feats, bxs):
+            # training vmaps this over the batch, so the per-chunk gather
+            # buffer scales as B x chunk: shrink the chunk to keep the live
+            # buffer ~B-independent (inference is batch-chunked upstream)
             return multilevel_roi_align(
                 feats, bxs, strides=ROI_STRIDES, output_size=resolution,
-                sampling_ratio=sampling_ratio, aligned=aligned)
+                sampling_ratio=sampling_ratio, aligned=aligned,
+                chunk=32 if training else 128)
 
         return jax.vmap(per_image)(roi_feats, boxes)
 
@@ -289,7 +293,13 @@ class PlaneRCNN(nn.Module):
                                       training=True)
         rois = sample_rois(proposals["boxes"], proposals["valid"],
                            gt_boxes, gt_classes, gt_valid, key, cfg)
-        roi_boxes = rois.boxes
+        # d2 creates proposals under torch.no_grad (find_top_rpn_proposals):
+        # no gradient ever flows through ROI COORDINATES into the RPN.
+        # Besides parity, this keeps pooling linear in the features, so AD
+        # does not save the (B, N, P, S, P, S, C) corner-sample tensors for
+        # d/d(bilinear weights) — without it, stage-1 training at ims/batch
+        # 16 allocates 4 x 6.1GB of such residuals and OOMs a 16GB v5e.
+        roi_boxes = jax.lax.stop_gradient(rois.boxes)
 
         b, s = roi_boxes.shape[:2]
         pooled = self._pool(feats, roi_boxes,

@@ -115,11 +115,15 @@ class ResNet(nn.Module):
         outputs = {}
         out_ch = c.res2_out_channels
         bott_ch = c.stem_out_channels  # 64 for R50
+        # cfg.remat: recompute each block's interior on the backward pass
+        # (nn.remat == jax.checkpoint); block = Bottleneck keeps the
+        # activation watermark at the block I/O tensors only
+        block_cls = nn.remat(Bottleneck) if c.remat else Bottleneck
         for stage_idx, n_blocks in enumerate(blocks):
             name = f"res{stage_idx + 2}"
             stride = 1 if stage_idx == 0 else 2
             for b in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     out_channels=out_ch,
                     bottleneck_channels=bott_ch,
                     stride=stride if b == 0 else 1,

@@ -239,7 +239,7 @@ def assign_boxes_to_levels(boxes: jnp.ndarray, min_level: int = 2,
 def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
                          strides: Sequence[int], output_size: int,
                          sampling_ratio: int, aligned: bool,
-                         min_level: int = 2) -> jnp.ndarray:
+                         min_level: int = 2, chunk: int = 128) -> jnp.ndarray:
     """FPN ROIAlign over levels p2..p5 for one image.
 
     Each ROI is sampled ONCE, at its assigned level, via flat indices into
@@ -276,4 +276,5 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
                                        widths)
     idx = jnp.where(wgt > 0, idx, total)
     idx = jnp.clip(idx, 0, total)
-    return _gather_pool(flat, idx, wgt, y_mask, x_mask).astype(features[0].dtype)
+    return _gather_pool(flat, idx, wgt, y_mask, x_mask,
+                        chunk=chunk).astype(features[0].dtype)
