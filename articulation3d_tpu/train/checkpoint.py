@@ -49,6 +49,66 @@ def load_checkpoint(path: str, state):
     return type(state)(**restored)
 
 
+def load_weights(path: str, state) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Weights-only, shape-tolerant warm start from an orbax checkpoint.
+
+    The d2 cross-stage contract (`DetectionCheckpointer` under
+    `resume_or_load(resume=False)`, reference `tools/train_net.py:89-103`;
+    e.g. stage 2 warm-starts an axis head the stage-1 checkpoint never had,
+    `config/step2_axis.yaml`): keys present in both trees with matching
+    shapes load; keys the checkpoint lacks (new heads) keep their fresh
+    initialization; keys the new stage dropped are ignored; the step counter
+    and optimizer state are NOT restored (warm start is not resume — the new
+    stage's schedule starts at iteration 0, and its optax freeze masks give
+    the opt state a different tree anyway).
+
+    Returns (params, batch_stats, stats) with numpy leaves.
+    """
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)  # template-free: raw saved tree of dicts
+    stats: Dict[str, Any] = {"loaded": 0, "missing": [], "unexpected": [],
+                             "shape_mismatch": []}
+
+    def leaf_paths(tree, prefix=()):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from leaf_paths(v, prefix + (str(k),))
+        else:
+            yield prefix
+
+    def merge(tmpl, src, prefix=()):
+        if isinstance(tmpl, dict):
+            out = {}
+            src = src if isinstance(src, dict) else {}
+            for k, v in tmpl.items():
+                if k in src:
+                    out[k] = merge(v, src[k], prefix + (str(k),))
+                else:
+                    stats["missing"].extend(
+                        ".".join(p) for p in leaf_paths(v, prefix + (str(k),)))
+                    out[k] = jax.tree_util.tree_map(np.asarray, v)
+            for k in src:
+                if k not in tmpl:
+                    stats["unexpected"].extend(
+                        ".".join(p)
+                        for p in leaf_paths(src[k], prefix + (str(k),)))
+            return out
+        tmpl = np.asarray(tmpl)
+        if isinstance(src, dict) or np.shape(src) != tmpl.shape:
+            stats["shape_mismatch"].append(".".join(prefix))
+            return tmpl
+        stats["loaded"] += 1
+        return np.asarray(src, tmpl.dtype)
+
+    params = merge(jax.tree_util.tree_map(np.asarray, state.params),
+                   restored.get("params", {}), ("params",))
+    batch_stats = merge(
+        jax.tree_util.tree_map(np.asarray, state.batch_stats),
+        restored.get("batch_stats", {}), ("batch_stats",))
+    return params, batch_stats, stats
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

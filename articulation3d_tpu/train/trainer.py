@@ -22,7 +22,7 @@ from ..config import Config, auto_scale_workers
 from ..data.catalog import get_dataset_dicts, get_metadata
 from ..data.mapper import DetectionLoader, PlaneRCNNMapper, PrefetchLoader
 from ..parallel import make_mesh, replicate, shard_batch
-from .checkpoint import (latest_checkpoint, load_checkpoint,
+from .checkpoint import (latest_checkpoint, load_checkpoint, load_weights,
                          load_torch_state_dict, port_detectron2_state_dict,
                          save_checkpoint)
 from .optimizer import build_optimizer
@@ -102,9 +102,19 @@ class Trainer:
                                              batch_stats=batch_stats)
             logger.info("ported %s: %s", w, stats)
         elif w:
+            # orbax dir (or a dir of step_* checkpoints): weights-only,
+            # shape-tolerant warm start — the cross-stage recipe path
+            # (stage 2/3 warm-start from a stage-1 checkpoint whose tree
+            # lacks the new heads and whose opt state has different masks)
             path = latest_checkpoint(w) or w
-            self.state = load_checkpoint(path, self.state)
-            logger.info("loaded weights from %s", path)
+            params, batch_stats, stats = load_weights(path, self.state)
+            self.state = self.state._replace(params=params,
+                                             batch_stats=batch_stats)
+            logger.info(
+                "warm-started from %s: %d loaded, %d fresh, %d dropped, "
+                "%d shape-mismatched", path, stats["loaded"],
+                len(stats["missing"]), len(stats["unexpected"]),
+                len(stats["shape_mismatch"]))
 
     # -- the loop -----------------------------------------------------------
     def train(self, max_iter: Optional[int] = None,

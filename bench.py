@@ -226,25 +226,17 @@ def main():
     variables = jax.device_put(variables, jax.devices()[0])
     print(f"# init {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # pallas-vs-XLA ROIAlign parity on the REAL chip, recorded in the bench
-    # artifact (stderr): the flagship kernel must agree with the exact XLA
-    # formulation before its throughput number means anything
-    if jax.default_backend() == "tpu":
-        errs = _pallas_parity_check()
-        for name, err in errs.items():
-            print(f"# pallas roi_align parity [{name}] max_err {err:.2e}",
-                  file=sys.stderr)
-            assert err < 1e-4, \
-                f"pallas kernel diverged from XLA [{name}]: {err}"
-
-    fps_parity = None
-    if MODE in ("both", "parity"):
-        fps_parity = _measure(base, variables, "parity",
-                              STEPS if MODE == "parity" else 5)
-        print(f"# parity_mode_fps {fps_parity:.2f}", file=sys.stderr)
-
+    # HEADLINE FIRST.  Remote-compile latency on this platform is highly
+    # variable (measured 64-300s per program; a slow day put the old
+    # parity-check-first ordering at ~10 min before any output), and the
+    # driver runs this under a kill budget — so the serving measurement and
+    # its JSON line come before everything else and are flushed immediately.
+    # The pallas parity gate and the parity-capacity measurement follow; a
+    # kernel divergence still fails the process (nonzero rc flags the run)
+    # even though the JSON line was already printed.
     if MODE == "parity":
-        fps, metric = fps_parity, "inference_throughput_480x640_parity"
+        fps = _measure(base, variables, "parity", STEPS)
+        metric = "inference_throughput_480x640_parity"
     else:
         fps = _measure(serving_config(), variables, "serving", STEPS)
         metric = "inference_throughput_480x640"
@@ -254,7 +246,22 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS_ESTIMATE, 2),
-    }))
+    }), flush=True)
+
+    # pallas-vs-XLA ROIAlign parity on the REAL chip, recorded in the bench
+    # artifact (stderr): the flagship kernel must agree with the exact XLA
+    # formulation for the throughput number to mean anything
+    if jax.default_backend() == "tpu":
+        errs = _pallas_parity_check()
+        for name, err in errs.items():
+            print(f"# pallas roi_align parity [{name}] max_err {err:.2e}",
+                  file=sys.stderr)
+            assert err < 1e-4, \
+                f"pallas kernel diverged from XLA [{name}]: {err}"
+
+    if MODE == "both":
+        fps_parity = _measure(base, variables, "parity", 5)
+        print(f"# parity_mode_fps {fps_parity:.2f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

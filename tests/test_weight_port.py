@@ -188,3 +188,42 @@ def test_depth_bn_port():
     out = m.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                atol=1e-5)
+
+
+def test_load_weights_cross_stage_warm_start(tmp_path):
+    """Orbax warm start is weights-only and shape-tolerant (the d2
+    `DetectionCheckpointer` cross-stage contract, reference
+    `tools/train_net.py:89-103`): matching keys load, new heads keep fresh
+    init, dropped keys are ignored, step/opt_state are not restored."""
+    import collections
+
+    from articulation3d_tpu.train.checkpoint import (load_weights,
+                                                     save_checkpoint)
+
+    TS = collections.namedtuple("TS", "step params batch_stats opt_state")
+    old = TS(step=np.int32(7),
+             params={"backbone": {"w": np.ones((2, 2), np.float32)},
+                     "box_head": {"w": np.full((3,), 2.0, np.float32)},
+                     "dropped": {"w": np.zeros((1,), np.float32)}},
+             batch_stats={"backbone": {"mean": np.full((4,), 5.0, np.float32)}},
+             opt_state={"momentum": np.zeros((2, 2), np.float32)})
+    path = save_checkpoint(str(tmp_path), old, 7)
+
+    new = TS(step=np.int32(0),
+             params={"backbone": {"w": np.zeros((2, 2), np.float32)},
+                     # same key, NEW shape: must keep the fresh value
+                     "box_head": {"w": np.full((5,), -1.0, np.float32)},
+                     # stage-2-style new head: must keep fresh init
+                     "axis_head": {"w": np.full((2,), 9.0, np.float32)}},
+             batch_stats={"backbone": {"mean": np.zeros((4,), np.float32)}},
+             opt_state={"different": np.zeros((1,), np.float32)})
+    params, batch_stats, stats = load_weights(path, new)
+
+    np.testing.assert_array_equal(params["backbone"]["w"], 1.0)
+    np.testing.assert_array_equal(params["axis_head"]["w"], 9.0)
+    np.testing.assert_array_equal(params["box_head"]["w"], -1.0)
+    np.testing.assert_array_equal(batch_stats["backbone"]["mean"], 5.0)
+    assert stats["loaded"] == 2
+    assert stats["missing"] == ["params.axis_head.w"]
+    assert stats["unexpected"] == ["params.dropped.w"]
+    assert stats["shape_mismatch"] == ["params.box_head.w"]
