@@ -263,6 +263,13 @@ class ModelConfig:
     # ROIAlign implementation: "auto" = Pallas window-DMA kernel on TPU,
     # XLA gather formulation elsewhere; or force "pallas" / "xla"
     roi_pooler_impl: str = "auto"
+    # serving-only lever: pool the detection cascade ONCE at the plane/axis
+    # convention (14x14, sampling_ratio 0) and feed the mask head from the
+    # same tensor.  The reference pools mask separately at sampling_ratio 2
+    # (`config/config.yaml:255` vs `config/config.py:36-39`) — sharing drops
+    # one full pool pass but changes mask-head inputs (delta quantified in
+    # PROFILE.md).  Off in every parity config.
+    share_detection_pool: bool = False
 
 
 @dataclass(frozen=True)

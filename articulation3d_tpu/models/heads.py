@@ -32,6 +32,23 @@ from ..ops.box_ops import decode_deltas, clip_boxes
 from ..ops.nms import batched_nms_mask, select_top
 
 
+def safe_unit(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize along the last axis, gradient-safe at v == 0.
+
+    `v / max(||v||, eps)` is forward-correct at the origin but its VJP is
+    NaN there (d||v||/dv = v/||v|| = 0/0), and all-zero rows DO occur in
+    training: a padded or degenerate sampled ROI (e.g. the zero GT box
+    appended for an all-negative image, `train/targets.py:sample_rois`)
+    pools all-zero features, and the ReLU towers then output exactly 0.
+    One NaN row poisons the whole head's gradient tree.  Zero rows here
+    stay zero with ZERO gradient; nonzero rows match the plain quotient.
+    """
+    sq = jnp.sum(jnp.square(v), axis=-1, keepdims=True)
+    nz = sq > 0
+    n = jnp.sqrt(jnp.where(nz, sq, 1.0))
+    return jnp.where(nz, v / jnp.maximum(n, eps), 0.0 * v)
+
+
 class BoxHead(nn.Module):
     """FastRCNNConvFCHead (num_conv=0, num_fc=2) + FastRCNNOutputLayers."""
 
@@ -160,7 +177,7 @@ class PlaneHead(nn.Module):
         p = nn.Dense(self.cfg.param_dim, param_dtype=jnp.float32,
                      name="param_pred")(t)
         if self.cfg.normal_only:
-            p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+            p = safe_unit(p)
         return p
 
 
@@ -183,12 +200,12 @@ class AxisHead(nn.Module):
                          self.cfg.fc_dim, prefix="axis_T", dtype=self.dtype,
                          name="tower_T")(x)
         rot_sc = nn.Dense(2, param_dtype=jnp.float32, name="rotation")(xr)
-        rot_sc = rot_sc / jnp.maximum(jnp.linalg.norm(rot_sc, axis=-1, keepdims=True), 1e-12)
+        rot_sc = safe_unit(rot_sc)
         rot_off = nn.Dense(1, param_dtype=jnp.float32, name="offset")(xr)
         rot = jnp.concatenate([rot_sc, rot_off], axis=-1)
 
         tran = nn.Dense(2, param_dtype=jnp.float32, name="translation")(xt)
-        tran = tran / jnp.maximum(jnp.linalg.norm(tran, axis=-1, keepdims=True), 1e-12)
+        tran = safe_unit(tran)
         return rot, tran
 
 

@@ -162,12 +162,25 @@ class PlaneRCNN(nn.Module):
         out = dict(dets)
         b, d = dets["boxes"].shape[:2]
 
-        # cascade: mask / plane / axis on the final boxes
+        # cascade: mask / plane / axis on the final boxes.  With
+        # `share_detection_pool` (serving-only, see config) the two 14x14
+        # detection pools collapse into one at the plane/axis convention.
+        shared = None
+        if (mcfg.share_detection_pool and mcfg.mask_on
+                and (mcfg.plane_on or mcfg.axis_on)
+                and mcfg.mask_head.pooler_resolution
+                == mcfg.plane_head.pooler_resolution):
+            shared = self._pool(
+                feats, dets["boxes"],
+                resolution=mcfg.plane_head.pooler_resolution,
+                sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
+                aligned=False, valid=dets["valid"])
         if mcfg.mask_on:
-            mp = self._pool(feats, dets["boxes"],
-                            resolution=mcfg.mask_head.pooler_resolution,
-                            sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
-                            aligned=False, valid=dets["valid"])
+            mp = shared if shared is not None else self._pool(
+                feats, dets["boxes"],
+                resolution=mcfg.mask_head.pooler_resolution,
+                sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
+                aligned=False, valid=dets["valid"])
             logits = self.mask_head(mp.reshape(b * d, *mp.shape[2:]))
             m = logits.shape[1]
             probs = jax.nn.sigmoid(logits)
@@ -180,10 +193,11 @@ class PlaneRCNN(nn.Module):
             out["masks"] = probs.reshape(b, d, m, m)
 
         if mcfg.plane_on or mcfg.axis_on:
-            pp = self._pool(feats, dets["boxes"],
-                            resolution=mcfg.plane_head.pooler_resolution,
-                            sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
-                            aligned=False, valid=dets["valid"])
+            pp = shared if shared is not None else self._pool(
+                feats, dets["boxes"],
+                resolution=mcfg.plane_head.pooler_resolution,
+                sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
+                aligned=False, valid=dets["valid"])
             flat = pp.reshape(b * d, *pp.shape[2:])
             if mcfg.plane_on:
                 planes = self.plane_head(flat)

@@ -51,7 +51,13 @@ def plane_xyz_module(planes: jnp.ndarray, ranges: jnp.ndarray,
     planes: (D, 3) normal*offset in ranges convention; ranges: (H, W, 3).
     Returns (D, H, W, 3).
     """
-    offsets = jnp.linalg.norm(planes, axis=-1, keepdims=True)      # (D, 1)
+    # sqrt'd sum-of-squares with the zero-row guard folded in: d||p||/dp is
+    # 0/0 at p == 0, and an all-zero plane row (padded detection slot) would
+    # otherwise poison the training gradients with NaN (models/heads.py
+    # safe_unit has the full story)
+    sq = jnp.sum(jnp.square(planes), axis=-1, keepdims=True)
+    offsets = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    offsets = jnp.where(sq > 0, offsets, 0.0)                      # (D, 1)
     normals = planes / jnp.clip(offsets, 1e-4)                     # (D, 3)
     nx = jnp.einsum("hwc,dc->dhw", ranges, normals)
     nx = jnp.where(nx == 0.0, 1e-4, nx)

@@ -179,6 +179,13 @@ class Trainer:
         results = {}
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
+        # conf_threshold=0.0 mirrors the reference: Trainer.test feeds EVERY
+        # survivor of the detector's own score_thresh_test (0.05 in all three
+        # recipe configs) to the evaluator — the evaluators sweep score
+        # thresholds themselves.  With random/early weights this can mean up
+        # to detections_per_image entries per image on the host-side
+        # evaluator; periodic in-training eval at scale should set
+        # `test.eval_period=0` (the recipes do) and evaluate offline.
         pipeline = VideoPipeline(self.cfg, self.model, variables,
                                  batch_size=max(self.cfg.solver.ims_per_batch, 1),
                                  conf_threshold=0.0)

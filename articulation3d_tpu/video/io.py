@@ -67,8 +67,15 @@ def write_video(path: str, frames: List[np.ndarray], fps: float = 30.0,
     try:
         import imageio
         writer = imageio.get_writer(path, fps=fps)
-    except Exception:
-        writer = None                      # no ffmpeg backend: use OpenCV
+    except ImportError:
+        writer = None                      # no imageio/ffmpeg: use OpenCV
+    except ValueError as e:
+        # same contract as read_frames: only a missing backend plugin
+        # ("Could not find a backend to write ...") reroutes to cv2;
+        # genuine encode errors (bad codec args, unwritable path) propagate
+        if "backend" not in str(e).lower() and "ffmpeg" not in str(e).lower():
+            raise
+        writer = None
     if writer is not None:
         for f in frames:
             writer.append_data(f[:, :, ::-1] if bgr else f)

@@ -263,6 +263,39 @@ def main():
         fps_parity = _measure(base, variables, "parity", 5)
         print(f"# parity_mode_fps {fps_parity:.2f}", file=sys.stderr)
 
+    # optional (manual sweeps only — every extra program costs a remote
+    # compile): the shared-detection-pool serving variant, plus the mask
+    # numerics delta it introduces (sampling_ratio 2 -> 0, see
+    # `ModelConfig.share_detection_pool`).  Box/plane/axis outputs are
+    # untouched by construction (the box stage and the plane/axis pool are
+    # identical programs), so only masks are compared.
+    if os.environ.get("ARTI3D_BENCH_SHARED") == "1":
+        from articulation3d_tpu.models import PlaneRCNN
+
+        scfg = serving_config()
+        shared_cfg = scfg.replace(model=dataclasses.replace(
+            scfg.model, share_detection_pool=True))
+        fps_shared = _measure(shared_cfg, variables, "serving+shared-pool", 5)
+        print(f"# serving_shared_pool_fps {fps_shared:.2f}", file=sys.stderr)
+
+        rs = np.random.RandomState(7)
+        img = jax.device_put(jnp.asarray(
+            rs.randn(1, scfg.input.height, scfg.input.width, 3), jnp.float32),
+            jax.devices()[0])
+        outs = {}
+        for name, c in (("separate", scfg), ("shared", shared_cfg)):
+            m = PlaneRCNN(c)
+            o = jax.jit(lambda v, im, m=m: m.apply(
+                v, im, method=PlaneRCNN.inference))(variables, img)
+            d = o["detections"]
+            outs[name] = (np.asarray(d.masks), np.asarray(d.valid))
+        (m_a, v_a), (m_b, v_b) = outs["separate"], outs["shared"]
+        keep = (v_a & v_b)[..., None, None]
+        dmask = np.abs(np.where(keep, m_a - m_b, 0.0))
+        print(f"# shared-pool mask delta: max {dmask.max():.4f} "
+              f"mean {dmask.mean():.5f} over {int(keep.sum())} detections",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
