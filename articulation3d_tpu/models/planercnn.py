@@ -76,16 +76,28 @@ class PlaneRCNN(nn.Module):
         """Multilevel ROIAlign over the batch.
 
         features: {p2..p5: (B, H, W, C)}, boxes: (B, N, 4) -> (B, N, P, P, C).
-        On TPU the Pallas window-DMA kernel runs (inference path); training
-        and CPU use the XLA gather formulation (autodiff-able).
+        On TPU the Pallas window-DMA kernel runs for BOTH inference and
+        training forwards; the training backward is the hand-written adjoint
+        of the XLA gather formulation (`multilevel_roi_align_train`).  CPU
+        uses the XLA gather formulation throughout.
         `valid` (B, N): padded ROIs pool to zeros at zero cost (their
         downstream head outputs are masked out anyway).
         """
         roi_feats = [features[f] for f in self.config.model.roi_heads.in_features]
         impl = self.config.model.roi_pooler_impl
         if impl == "auto":
-            impl = ("pallas" if jax.default_backend() == "tpu" and not training
-                    else "xla")
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if training:
+            # custom-VJP pooler: Pallas window-DMA forward on TPU (the
+            # gather forward was the training step's dominant cost), XLA
+            # gather path on CPU; backward is ALWAYS the hand-written adjoint
+            # of the XLA formulation (torchvision's exact adjoint scatter),
+            # evaluated fresh — no forward intermediates are saved
+            from ..ops.roi_align_pallas import multilevel_roi_align_train
+            return multilevel_roi_align_train(
+                roi_feats, boxes, strides=ROI_STRIDES,
+                output_size=resolution, sampling_ratio=sampling_ratio,
+                aligned=aligned, chunk=32, use_pallas=(impl == "pallas"))
         if impl == "pallas":
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
             # pool from the compute dtype: bf16 windows halve the kernel's
@@ -98,13 +110,9 @@ class PlaneRCNN(nn.Module):
                 aligned=aligned, valid=valid)
 
         def per_image(feats, bxs):
-            # training vmaps this over the batch, so the per-chunk gather
-            # buffer scales as B x chunk: shrink the chunk to keep the live
-            # buffer ~B-independent (inference is batch-chunked upstream)
             return multilevel_roi_align(
                 feats, bxs, strides=ROI_STRIDES, output_size=resolution,
-                sampling_ratio=sampling_ratio, aligned=aligned,
-                chunk=32 if training else 128)
+                sampling_ratio=sampling_ratio, aligned=aligned, chunk=128)
 
         return jax.vmap(per_image)(roi_feats, boxes)
 

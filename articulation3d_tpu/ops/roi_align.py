@@ -278,3 +278,83 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     idx = jnp.clip(idx, 0, total)
     return _gather_pool(flat, idx, wgt, y_mask, x_mask,
                         chunk=chunk).astype(features[0].dtype)
+
+
+def multilevel_roi_align_adjoint(g: jnp.ndarray, boxes: jnp.ndarray,
+                                 feat_shapes: Sequence[Tuple[int, int, int]],
+                                 *, strides: Sequence[int], output_size: int,
+                                 sampling_ratio: int, aligned: bool,
+                                 min_level: int = 2, chunk: int = 32):
+    """Adjoint of `multilevel_roi_align` w.r.t. the FEATURES, one image.
+
+    The forward is linear in the features for fixed boxes:
+        pooled[n,q,p,c] = sum_s flat[idx[n,q,p,s], c] * w[n,q,p,s] / cnt[n]
+    so the adjoint is the corresponding scatter-add — exactly what
+    torchvision's CUDA `roi_align` backward computes (atomicAdd of the four
+    corner weights per sample).  It is hand-written (rather than
+    `jax.linear_transpose` of the forward) because transposing through the
+    forward's `lax.map` chunking trips JAX's scan-transpose on captured
+    linear constants; this recomputes the SAME indices/weights via the
+    shared helpers, so the two stay in lockstep by construction
+    (tests/test_roi_train_pool.py asserts gradient parity vs autodiff).
+
+    Args:
+      g: (N, P, P, C) cotangent of the pooled output.
+      boxes: (N, 4) the same boxes the forward pooled.
+      feat_shapes: per-level (H_l, W_l, C).
+    Returns list of per-level (H_l, W_l, C) float32 feature gradients.
+    """
+    c = feat_shapes[0][-1]
+    n = boxes.shape[0]
+    P = output_size
+    levels = assign_boxes_to_levels(boxes, min_level=min_level,
+                                    max_level=min_level + len(feat_shapes) - 1)
+    lvl_idx = levels - min_level
+    hs = np.array([s[0] for s in feat_shapes], np.int32)
+    ws = np.array([s[1] for s in feat_shapes], np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)])
+    total = int(offs[-1])
+
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl_idx]
+    heights = jnp.asarray(hs)[lvl_idx]
+    widths = jnp.asarray(ws)[lvl_idx]
+    row_offsets = jnp.asarray(offs[:-1], jnp.int32)[lvl_idx]
+
+    ys, xs, y_mask, x_mask = _sample_coords(
+        boxes, scales, output_size, sampling_ratio, aligned, adaptive_cap=4)
+    idx, wgt = _corner_indices_weights(ys, xs, heights, widths, row_offsets,
+                                       widths)
+    idx = jnp.where(wgt > 0, idx, total)
+    idx = jnp.clip(idx, 0, total)           # the dummy row soaks up OOR mass
+
+    chunk = max(1, min(chunk, n))
+    S = idx.shape[2]
+
+    def chunk_fn(dflat, args):
+        idx_c, w_c, ym_c, xm_c, g_c = args
+        sw = ym_c[:, :, :, None, None] * xm_c[:, None, None, :, :]
+        cnt = (jnp.sum(ym_c[:, 0, :], axis=1)
+               * jnp.sum(xm_c[:, 0, :], axis=1))
+        gn = (g_c.astype(jnp.float32)
+              / jnp.maximum(cnt, 1.0)[:, None, None, None])     # (K,P,P,C)
+        gexp = gn[:, :, None, :, None, :]                       # (K,P,1,P,1,C)
+        # corner-by-corner, mirroring `_gather_pool`'s accumulation: keeps
+        # the live update buffer at (K, P, S, P, S, C)
+        for corner in range(4):
+            upd = (w_c[..., corner] * sw)[..., None] * gexp
+            dflat = dflat.at[idx_c[..., corner].reshape(-1)].add(
+                upd.reshape(-1, c))
+        return dflat, None
+
+    pad = (-n) % chunk
+    g = g.astype(jnp.float32)
+    if pad:
+        padf = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        idx, wgt, y_mask, x_mask, g = map(padf, (idx, wgt, y_mask, x_mask, g))
+    resh = lambda a: a.reshape((-1, chunk) + a.shape[1:])
+    dflat, _ = jax.lax.scan(
+        chunk_fn, jnp.zeros((total + 1, c), jnp.float32),
+        tuple(map(resh, (idx, wgt, y_mask, x_mask, g))))
+    return [dflat[int(offs[l]):int(offs[l + 1])].reshape(int(hs[l]),
+                                                         int(ws[l]), c)
+            for l in range(len(feat_shapes))]

@@ -46,12 +46,18 @@ kernel's separable matmul math.  Only an ROI still overflowing at the
 TOP level (a near-image-sized >8:1 sliver) falls back to the defensive
 edge-clamp in `_separable_weights`.
 
-Gradients: training uses the XLA formulation (autodiff'd); this kernel
-serves the inference path.
+Gradients: `multilevel_roi_align_train` (bottom of this file) pairs this
+kernel as the FORWARD with a hand-written adjoint scatter
+(`multilevel_roi_align_adjoint`) as the BACKWARD via jax.custom_vjp, so
+training gets the fast window-DMA forward while the feature gradient stays
+the reference-exact scatter (torchvision's own backward is the adjoint of
+its forward).
 """
 
 from __future__ import annotations
 
+import collections
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -60,7 +66,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import _sample_coords, assign_boxes_to_levels
+from .roi_align import (_sample_coords, assign_boxes_to_levels,
+                        multilevel_roi_align, multilevel_roi_align_adjoint)
 
 TILE_Y = 32   # rows per window tile (dynamic y offsets are unconstrained)
 TILE_X = 40   # cols per tile (x origin 8-aligned; 40 = 32 + 8 slack)
@@ -433,3 +440,104 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     # kernel writes [q, p, c]; swap to [p, q, c] = (row, col, C)
     out = jnp.swapaxes(out, 1, 2)
     return out.reshape(bsz, n, p, p, c)
+
+
+# --------------------------------------------------------------------------- #
+# training pooler: Pallas forward + reference-exact transposed backward
+# --------------------------------------------------------------------------- #
+# Static call options, hashable for custom_vjp's nondiff_argnums.  Feature
+# shapes/dtypes ride along so the backward can rebuild the linear map's
+# input avals without holding the (large) feature arrays as residuals.
+_TrainPoolOpts = collections.namedtuple(
+    "_TrainPoolOpts",
+    ["strides", "output_size", "sampling_ratio", "aligned", "min_level",
+     "chunk", "use_pallas", "shapes", "dtypes"])
+
+
+def _xla_batched(features, boxes, opts: _TrainPoolOpts) -> jnp.ndarray:
+    """vmapped XLA gather formulation — linear in `features` for fixed boxes
+    (gathers + bilinear weights + bin averaging), so it linear-transposes."""
+
+    def per_image(feats, bxs):
+        return multilevel_roi_align(
+            list(feats), bxs, strides=opts.strides,
+            output_size=opts.output_size,
+            sampling_ratio=opts.sampling_ratio, aligned=opts.aligned,
+            min_level=opts.min_level, chunk=opts.chunk)
+
+    return jax.vmap(per_image)(tuple(features), boxes).astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _train_pool(features, boxes, opts: _TrainPoolOpts) -> jnp.ndarray:
+    if opts.use_pallas:
+        return multilevel_roi_align_pallas(
+            list(features), boxes, strides=opts.strides,
+            output_size=opts.output_size,
+            sampling_ratio=opts.sampling_ratio, aligned=opts.aligned,
+            min_level=opts.min_level)
+    return _xla_batched(features, boxes, opts)
+
+
+def _train_pool_fwd(features, boxes, opts):
+    # residuals: ONLY the boxes — the backward is a fresh evaluation of the
+    # transposed linear map, no forward intermediates are kept (this is what
+    # lets the Pallas forward replace the gather forward without paying its
+    # memory back at backward time)
+    return _train_pool(features, boxes, opts), boxes
+
+
+def _train_pool_bwd(opts, boxes, g):
+    per_image_shapes = tuple(s[1:] for s in opts.shapes)
+
+    def per_image(g_i, bx_i):
+        return multilevel_roi_align_adjoint(
+            g_i, bx_i, per_image_shapes, strides=opts.strides,
+            output_size=opts.output_size, sampling_ratio=opts.sampling_ratio,
+            aligned=opts.aligned, min_level=opts.min_level, chunk=opts.chunk)
+
+    dfeats = jax.vmap(per_image)(g, boxes)         # list of (B, H, W, C) f32
+    dfeats = tuple(d.astype(jnp.dtype(t))
+                   for d, t in zip(dfeats, opts.dtypes))
+    # ZERO cotangent for boxes: d2 parity — proposals are created under
+    # torch.no_grad and `train_forward` stop_gradients ROI boxes, so no
+    # caller ever differentiates through coordinates.  (Returning the true
+    # coordinate gradient would re-materialize the per-corner sample tensors
+    # this pooler exists to avoid.)
+    return dfeats, jnp.zeros_like(boxes)
+
+
+_train_pool.defvjp(_train_pool_fwd, _train_pool_bwd)
+
+
+def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
+                               boxes: jnp.ndarray, *,
+                               strides: Sequence[int], output_size: int,
+                               sampling_ratio: int, aligned: bool,
+                               min_level: int = 2, chunk: int = 32,
+                               use_pallas: bool = True) -> jnp.ndarray:
+    """Batched FPN ROIAlign for TRAINING: features (B, H_l, W_l, C) x L,
+    boxes (B, N, 4) -> (B, N, P, P, C) float32.
+
+    Forward: the Pallas window-DMA kernel (`use_pallas=True`, TPU) or the
+    XLA gather formulation (CPU / forced).  Backward (either way): the
+    hand-written adjoint of the XLA gather formulation
+    (`multilevel_roi_align_adjoint`) — the same corner-weight scatter
+    torchvision `roi_align`'s CUDA backward computes (reference pooler
+    contract: `modeling/roi_heads/roi_heads.py:50-55`).  With the Pallas forward the
+    two differ only for window-overflowing ROIs (>5:1 aspect at max level
+    size), which pool from a coarser level in the forward; their gradient
+    scatters to the torchvision-assigned level instead — a documented
+    approximation on out-of-contract ROIs.
+
+    `boxes` receive a ZERO cotangent (see `_train_pool_bwd`); callers must
+    not rely on coordinate gradients (train_forward stop_gradients them).
+    """
+    opts = _TrainPoolOpts(
+        strides=tuple(int(s) for s in strides), output_size=int(output_size),
+        sampling_ratio=int(sampling_ratio), aligned=bool(aligned),
+        min_level=int(min_level), chunk=int(chunk),
+        use_pallas=bool(use_pallas),
+        shapes=tuple(tuple(f.shape) for f in features),
+        dtypes=tuple(str(f.dtype) for f in features))
+    return _train_pool(tuple(features), boxes, opts)
