@@ -385,9 +385,19 @@ def serving_config() -> Config:
     capacity no real frame comes near (arti scenes carry well under 20
     instances).  Serving halves the box-stage ROI set (post-NMS 500) and
     pools the mask/plane/axis cascade on 30 final boxes instead of 100.
-    Per-box outputs are IDENTICAL to the parity config for every box both
-    keep — only the tail capacity is dropped.  Parity-vs-speed numbers:
-    PROFILE.md "Serving preset".
+
+    Equivalence contract (tested, tests/test_serving_parity.py + the
+    on-chip `# serving_vs_parity` check in bench.py):
+      * per-box outputs are IDENTICAL to the parity config for every box
+        both configs keep (measured bit-exact on CPU f32);
+      * whenever <= 500 proposals survive RPN NMS (every real arti/ScanNet
+        frame), the candidate pools coincide and the serving detections are
+        EXACTLY parity's top-30 — full set equality;
+      * if a frame overruns the cap (adversarial synthetic load), the extra
+        parity candidates can shift class-NMS outcomes; measured divergence
+        under cap-saturating biased-noise load stays <= ~2-5% of detections
+        (quantified per bench run on stderr).
+    Parity-vs-speed numbers: PROFILE.md "Serving preset".
     """
     cfg = inference_config()
     return cfg.replace(model=dataclasses.replace(

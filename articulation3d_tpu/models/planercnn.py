@@ -91,13 +91,21 @@ class PlaneRCNN(nn.Module):
             # custom-VJP pooler: Pallas window-DMA forward on TPU (the
             # gather forward was the training step's dominant cost), XLA
             # gather path on CPU; backward is ALWAYS the hand-written adjoint
-            # of the XLA formulation (torchvision's exact adjoint scatter),
-            # evaluated fresh — no forward intermediates are saved
+            # of the XLA formulation (torchvision's exact adjoint scatter,
+            # recomputing the Pallas forward's own level assignment),
+            # evaluated fresh — no forward intermediates are saved.
+            # stop_gradient is STRUCTURAL here: the training pooler returns
+            # a hard-zero box cotangent (roi_align_pallas._train_pool_bwd),
+            # so a caller differentiating through coordinates would silently
+            # get zeros — detaching at the contract boundary makes that
+            # impossible rather than merely documented (and is d2 parity:
+            # proposals are created under torch.no_grad).
             from ..ops.roi_align_pallas import multilevel_roi_align_train
             return multilevel_roi_align_train(
-                roi_feats, boxes, strides=ROI_STRIDES,
+                roi_feats, jax.lax.stop_gradient(boxes), strides=ROI_STRIDES,
                 output_size=resolution, sampling_ratio=sampling_ratio,
-                aligned=aligned, chunk=32, use_pallas=(impl == "pallas"))
+                aligned=aligned, chunk=32, use_pallas=(impl == "pallas"),
+                valid=valid)
         if impl == "pallas":
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
             # pool from the compute dtype: bf16 windows halve the kernel's
@@ -311,6 +319,16 @@ class PlaneRCNN(nn.Module):
         mcfg = cfg.model
         h, w = cfg.input.height, cfg.input.width
         feats = self.features(images)
+        if "backbone" in mcfg.freeze:
+            # d2 parity AND the dominant stage-2/3 training cost: freezing
+            # the backbone sets requires_grad=False on the trunk, so torch
+            # autograd never runs the ROIAlign/head backward INTO the
+            # features (they don't require grad).  Detaching here kills all
+            # pooler adjoint scatters + the trunk backward for frozen-trunk
+            # recipes (measured 1.85s -> ~0.4s per stage-3 step at ims 8,
+            # PROFILE.md "Training attribution"); head WEIGHT gradients only
+            # need the feature VALUES and are unaffected.
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         proposals, rpn_raw = self.rpn(feats, image_height=h, image_width=w,
                                       training=True)
         rois = sample_rois(proposals["boxes"], proposals["valid"],
@@ -327,7 +345,8 @@ class PlaneRCNN(nn.Module):
         pooled = self._pool(feats, roi_boxes,
                             resolution=mcfg.box_head.pooler_resolution,
                             sampling_ratio=mcfg.box_head.pooler_sampling_ratio,
-                            aligned=True, training=True)
+                            aligned=True, training=True,
+                            valid=rois.is_sampled)
         scores, deltas = self.box_head(pooled.reshape(b * s, *pooled.shape[2:]))
 
         outputs = {
@@ -341,7 +360,8 @@ class PlaneRCNN(nn.Module):
             mp = self._pool(feats, roi_boxes,
                             resolution=mcfg.mask_head.pooler_resolution,
                             sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
-                            aligned=False, training=True)
+                            aligned=False, training=True,
+                            valid=rois.is_sampled)
             logits = self.mask_head(mp.reshape(b * s, *mp.shape[2:]))
             outputs["mask_logits"] = logits.reshape(b, s, *logits.shape[1:])
 
@@ -351,7 +371,8 @@ class PlaneRCNN(nn.Module):
             pp = self._pool(feats, roi_boxes,
                             resolution=mcfg.plane_head.pooler_resolution,
                             sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
-                            aligned=False, training=True)
+                            aligned=False, training=True,
+                            valid=rois.is_sampled)
             flat = pp.reshape(b * s, *pp.shape[2:])
             if mcfg.plane_on and "roi_heads.plane_head" not in mcfg.freeze:
                 outputs["plane_pred"] = self.plane_head(flat).reshape(b, s, -1)
@@ -385,14 +406,14 @@ class PlaneRCNN(nn.Module):
             mp = self._pool(feats, dd["boxes"],
                             resolution=mcfg.mask_head.pooler_resolution,
                             sampling_ratio=mcfg.mask_head.pooler_sampling_ratio,
-                            aligned=False, training=True)
+                            aligned=False, training=True, valid=dd["valid"])
             mlog = self.mask_head(sg(mp.reshape(b * nd, *mp.shape[2:])))
             mprob = jax.nn.sigmoid(mlog)[..., 0].reshape(
                 b, nd, *mlog.shape[1:3])
             pp = self._pool(feats, dd["boxes"],
                             resolution=mcfg.plane_head.pooler_resolution,
                             sampling_ratio=mcfg.plane_head.pooler_sampling_ratio,
-                            aligned=False, training=True)
+                            aligned=False, training=True, valid=dd["valid"])
             planes = self.plane_head(
                 sg(pp.reshape(b * nd, *pp.shape[2:]))).reshape(b, nd, -1)
             depth_pred = outputs.get("depth_pred")

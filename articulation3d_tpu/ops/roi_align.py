@@ -239,7 +239,8 @@ def assign_boxes_to_levels(boxes: jnp.ndarray, min_level: int = 2,
 def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
                          strides: Sequence[int], output_size: int,
                          sampling_ratio: int, aligned: bool,
-                         min_level: int = 2, chunk: int = 128) -> jnp.ndarray:
+                         min_level: int = 2, chunk: int = 128,
+                         level_idx: jnp.ndarray | None = None) -> jnp.ndarray:
     """FPN ROIAlign over levels p2..p5 for one image.
 
     Each ROI is sampled ONCE, at its assigned level, via flat indices into
@@ -248,14 +249,20 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     Args:
       features: list of (H_l, W_l, C) maps ordered fine->coarse.
       boxes: (N, 4) padded boxes.
+      level_idx: optional (N,) 0-based level override (default: detectron2's
+        sqrt-area assignment).  Used to force the Pallas kernel's
+        overflow-bumped levels so forward/adjoint pairs stay in lockstep.
     Returns:
       (N, P, P, C) pooled features; padded/degenerate ROIs yield zeros.
     """
     c = features[0].shape[-1]
     n = boxes.shape[0]
-    levels = assign_boxes_to_levels(boxes, min_level=min_level,
-                                    max_level=min_level + len(features) - 1)
-    lvl_idx = levels - min_level                                   # (N,)
+    if level_idx is None:
+        levels = assign_boxes_to_levels(boxes, min_level=min_level,
+                                        max_level=min_level + len(features) - 1)
+        lvl_idx = levels - min_level                               # (N,)
+    else:
+        lvl_idx = level_idx
 
     hs = np.array([f.shape[0] for f in features], np.int32)
     ws = np.array([f.shape[1] for f in features], np.int32)
@@ -284,7 +291,8 @@ def multilevel_roi_align_adjoint(g: jnp.ndarray, boxes: jnp.ndarray,
                                  feat_shapes: Sequence[Tuple[int, int, int]],
                                  *, strides: Sequence[int], output_size: int,
                                  sampling_ratio: int, aligned: bool,
-                                 min_level: int = 2, chunk: int = 32):
+                                 min_level: int = 2, chunk: int = 32,
+                                 level_idx: jnp.ndarray | None = None):
     """Adjoint of `multilevel_roi_align` w.r.t. the FEATURES, one image.
 
     The forward is linear in the features for fixed boxes:
@@ -302,14 +310,21 @@ def multilevel_roi_align_adjoint(g: jnp.ndarray, boxes: jnp.ndarray,
       g: (N, P, P, C) cotangent of the pooled output.
       boxes: (N, 4) the same boxes the forward pooled.
       feat_shapes: per-level (H_l, W_l, C).
+      level_idx: optional (N,) 0-based level override so the scatter targets
+        the SAME level the (Pallas) forward read — see
+        `roi_align_pallas.pallas_level_idx`.
     Returns list of per-level (H_l, W_l, C) float32 feature gradients.
     """
     c = feat_shapes[0][-1]
     n = boxes.shape[0]
     P = output_size
-    levels = assign_boxes_to_levels(boxes, min_level=min_level,
-                                    max_level=min_level + len(feat_shapes) - 1)
-    lvl_idx = levels - min_level
+    if level_idx is None:
+        levels = assign_boxes_to_levels(
+            boxes, min_level=min_level,
+            max_level=min_level + len(feat_shapes) - 1)
+        lvl_idx = levels - min_level
+    else:
+        lvl_idx = level_idx
     hs = np.array([s[0] for s in feat_shapes], np.int32)
     ws = np.array([s[1] for s in feat_shapes], np.int32)
     offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)])

@@ -51,7 +51,11 @@ kernel as the FORWARD with a hand-written adjoint scatter
 (`multilevel_roi_align_adjoint`) as the BACKWARD via jax.custom_vjp, so
 training gets the fast window-DMA forward while the feature gradient stays
 the reference-exact scatter (torchvision's own backward is the adjoint of
-its forward).
+its forward).  The adjoint recomputes the kernel's own level assignment
+(`pallas_level_idx`), so even out-of-contract overflow-bumped ROIs get the
+exact transpose of the level they were actually pooled from; the only
+remaining forward/backward divergence is the defensive edge-snap for a
+near-image-sized >8:1 sliver still overflowing at the TOP level.
 """
 
 from __future__ import annotations
@@ -111,6 +115,60 @@ def _separable_weights(coord, mask, n_s, size, origin, win_n):
     one_hi = (rel_hi[..., None] == win_ids).astype(jnp.float32)
     w = jnp.sum(one_lo * w_lo[..., None] + one_hi * w_hi[..., None], axis=2)
     return w / jnp.maximum(n_s, 1)[:, None, None].astype(jnp.float32)
+
+
+def pallas_level_idx(flat_boxes: jnp.ndarray, *, n_levels: int,
+                     strides: Sequence[int], output_size: int,
+                     sampling_ratio: int, aligned: bool,
+                     min_level: int = 2) -> jnp.ndarray:
+    """The 0-based level assignment the Pallas kernel ACTUALLY pools from.
+
+    detectron2's sqrt-area assignment (`assign_boxes_to_levels`) plus the
+    window-overflow bump: an ROI whose SAMPLED extent would exceed the fixed
+    64x80-cell window (beyond ~5:1 tall / ~8:1 wide at the max size for its
+    assigned level) pools from the next coarser level(s) where it fits —
+    exact bilinear pooling at halved resolution.  The sampled extent
+    (first/last sample gap, a bin-fraction smaller than the box extent) is
+    what the window must cover; margins hold the floor-origin (-1 / +2
+    cells) and the 8-aligned x origin (up to 7 cells).  Sample spans scale
+    exactly with 1/stride, so the bump count is a log2 of the overflow
+    ratio.  ROIs within the sqrt-area level contract up to 5:1 aspect never
+    bump.
+
+    Exposed so the training pooler's adjoint can scatter gradients to the
+    SAME levels the Pallas forward read (`multilevel_roi_align_adjoint`'s
+    `level_idx`), keeping forward/backward an exact linear-map/transpose
+    pair even for out-of-contract ROIs.
+    """
+    span_y = TILE_Y * N_TILES
+    span_x = TILE_X * N_TILES
+    levels = assign_boxes_to_levels(
+        flat_boxes, min_level=min_level,
+        max_level=min_level + n_levels - 1) - min_level            # (T,)
+    scale_table = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    scales0 = scale_table[levels]
+    ys0, xs0, ym0, xm0 = _sample_coords(
+        flat_boxes, scales0, output_size, sampling_ratio, aligned,
+        adaptive_cap=4)
+    big0 = jnp.float32(1e9)
+    y_min0 = jnp.min(jnp.where(ym0 > 0, ys0, big0), axis=(1, 2))
+    y_max0 = jnp.max(jnp.where(ym0 > 0, ys0, -big0), axis=(1, 2))
+    x_min0 = jnp.min(jnp.where(xm0 > 0, xs0, big0), axis=(1, 2))
+    x_max0 = jnp.max(jnp.where(xm0 > 0, xs0, -big0), axis=(1, 2))
+    # exact window need at the assigned level, mirroring the origin rules in
+    # `_prepare` (floor - 1, clamped at 0; x additionally floored to 8)
+    need_y0 = jnp.floor(y_max0) + 2 - jnp.maximum(jnp.floor(y_min0) - 1, 0.0)
+    x0_al = jnp.floor(jnp.maximum(jnp.floor(x_min0) - 1, 0.0) / 8) * 8
+    need_x0 = jnp.floor(x_max0) + 2 - x0_al
+    overflow = (need_y0 > span_y) | (need_x0 > span_x)
+    # bump count from the sample spans (they scale exactly with 1/stride);
+    # -4 / -11 margins cover origin flooring and the 8-aligned x origin at
+    # the bumped level
+    over = jnp.maximum((y_max0 - y_min0) / float(span_y - 4),
+                       (x_max0 - x_min0) / float(span_x - 11))
+    b_req = jnp.ceil(jnp.log2(jnp.maximum(over, 1.0))).astype(jnp.int32)
+    bump = jnp.where(overflow, jnp.maximum(b_req, 1), 0)
+    return jnp.minimum(levels + bump, n_levels - 1)
 
 
 def _group_size(dtype) -> int:
@@ -225,45 +283,15 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     span_y = TILE_Y * N_TILES
     span_x = TILE_X * N_TILES
 
-    levels = assign_boxes_to_levels(
-        flat_boxes, min_level=min_level,
-        max_level=min_level + len(features) - 1) - min_level      # (T,)
+    # detectron2 assignment + window-overflow bump (shared with the training
+    # adjoint so gradients scatter to the level the forward read)
+    levels = pallas_level_idx(
+        flat_boxes, n_levels=len(features), strides=strides,
+        output_size=p, sampling_ratio=sampling_ratio, aligned=aligned,
+        min_level=min_level)
     hs = np.array([f.shape[1] for f in features], np.int32)
     ws = np.array([f.shape[2] for f in features], np.int32)
     scale_table = jnp.asarray([1.0 / s for s in strides], jnp.float32)
-
-    # Window-overflow level bump: an ROI whose SAMPLED extent would exceed
-    # the fixed window (beyond ~5:1 tall / ~8:1 wide at the max size for its
-    # assigned level) pools from the next coarser level(s) where it fits —
-    # exact bilinear pooling at halved resolution, instead of the former
-    # edge-snap of tail samples.  The sampled extent (first/last sample gap,
-    # a bin-fraction smaller than the box extent) is what the window must
-    # cover; margins hold the floor-origin (-1 / +2 cells) and the 8-aligned
-    # x origin (up to 7 cells).  Sample spans scale exactly with 1/stride,
-    # so the bump count is a log2 of the overflow ratio.  ROIs within the
-    # sqrt-area level contract up to 5:1 aspect never bump.
-    scales0 = scale_table[levels]
-    ys0, xs0, ym0, xm0 = _sample_coords(
-        flat_boxes, scales0, p, sampling_ratio, aligned, adaptive_cap=4)
-    big0 = jnp.float32(1e9)
-    y_min0 = jnp.min(jnp.where(ym0 > 0, ys0, big0), axis=(1, 2))
-    y_max0 = jnp.max(jnp.where(ym0 > 0, ys0, -big0), axis=(1, 2))
-    x_min0 = jnp.min(jnp.where(xm0 > 0, xs0, big0), axis=(1, 2))
-    x_max0 = jnp.max(jnp.where(xm0 > 0, xs0, -big0), axis=(1, 2))
-    # exact window need at the assigned level, mirroring the origin rules
-    # below (floor - 1, clamped at 0; x additionally floored to 8)
-    need_y0 = jnp.floor(y_max0) + 2 - jnp.maximum(jnp.floor(y_min0) - 1, 0.0)
-    x0_al = jnp.floor(jnp.maximum(jnp.floor(x_min0) - 1, 0.0) / 8) * 8
-    need_x0 = jnp.floor(x_max0) + 2 - x0_al
-    overflow = (need_y0 > span_y) | (need_x0 > span_x)
-    # bump count from the sample spans (they scale exactly with 1/stride);
-    # -4 / -11 margins cover origin flooring and the 8-aligned x origin at
-    # the bumped level
-    over = jnp.maximum((y_max0 - y_min0) / float(span_y - 4),
-                       (x_max0 - x_min0) / float(span_x - 11))
-    b_req = jnp.ceil(jnp.log2(jnp.maximum(over, 1.0))).astype(jnp.int32)
-    bump = jnp.where(overflow, jnp.maximum(b_req, 1), 0)
-    levels = jnp.minimum(levels + bump, len(features) - 1)
 
     heights = jnp.asarray(hs)[levels]
     widths = jnp.asarray(ws)[levels]
@@ -468,43 +496,72 @@ def _xla_batched(features, boxes, opts: _TrainPoolOpts) -> jnp.ndarray:
     return jax.vmap(per_image)(tuple(features), boxes).astype(jnp.float32)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _train_pool(features, boxes, opts: _TrainPoolOpts) -> jnp.ndarray:
+def _train_levels(boxes_flat: jnp.ndarray, opts: _TrainPoolOpts):
+    """(T,) 0-based level idx of the training pooler's ACTUAL forward."""
+    return pallas_level_idx(
+        boxes_flat, n_levels=len(opts.shapes), strides=opts.strides,
+        output_size=opts.output_size, sampling_ratio=opts.sampling_ratio,
+        aligned=opts.aligned, min_level=opts.min_level)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _train_pool(features, boxes, valid, opts: _TrainPoolOpts) -> jnp.ndarray:
     if opts.use_pallas:
         return multilevel_roi_align_pallas(
             list(features), boxes, strides=opts.strides,
             output_size=opts.output_size,
             sampling_ratio=opts.sampling_ratio, aligned=opts.aligned,
-            min_level=opts.min_level)
-    return _xla_batched(features, boxes, opts)
+            min_level=opts.min_level,
+            valid=None if valid is None else valid > 0.5)
+    out = _xla_batched(features, boxes, opts)
+    if valid is not None:
+        # match the Pallas forward's contract: invalid ROIs pool to zeros
+        out = jnp.where((valid > 0.5)[..., None, None, None], out, 0.0)
+    return out
 
 
-def _train_pool_fwd(features, boxes, opts):
-    # residuals: ONLY the boxes — the backward is a fresh evaluation of the
-    # transposed linear map, no forward intermediates are kept (this is what
-    # lets the Pallas forward replace the gather forward without paying its
-    # memory back at backward time)
-    return _train_pool(features, boxes, opts), boxes
+def _train_pool_fwd(features, boxes, valid, opts):
+    # residuals: ONLY boxes (+ the tiny valid mask) — the backward is a
+    # fresh evaluation of the transposed linear map, no forward
+    # intermediates are kept (this is what lets the Pallas forward replace
+    # the gather forward without paying its memory back at backward time)
+    return _train_pool(features, boxes, valid, opts), (boxes, valid)
 
 
-def _train_pool_bwd(opts, boxes, g):
+def _train_pool_bwd(opts, res, g):
+    boxes, valid = res
     per_image_shapes = tuple(s[1:] for s in opts.shapes)
+    if valid is not None:
+        # forward zeroed invalid ROIs, so their cotangent rows contribute
+        # nothing to the feature gradient
+        g = jnp.where((valid > 0.5)[..., None, None, None], g, 0.0)
+    bsz, n = boxes.shape[:2]
+    if opts.use_pallas:
+        # scatter to the level the Pallas forward READ: the d2 assignment
+        # plus the window-overflow bump (`pallas_level_idx`), so the
+        # forward/backward pair stays an exact linear map + transpose even
+        # for out-of-contract (>5:1 aspect at max level size) ROIs
+        lvls = _train_levels(boxes.reshape(bsz * n, 4), opts).reshape(bsz, n)
+    else:
+        lvls = jnp.zeros((bsz, n), jnp.int32)  # unused placeholder
 
-    def per_image(g_i, bx_i):
+    def per_image(g_i, bx_i, lv_i):
         return multilevel_roi_align_adjoint(
             g_i, bx_i, per_image_shapes, strides=opts.strides,
             output_size=opts.output_size, sampling_ratio=opts.sampling_ratio,
-            aligned=opts.aligned, min_level=opts.min_level, chunk=opts.chunk)
+            aligned=opts.aligned, min_level=opts.min_level, chunk=opts.chunk,
+            level_idx=lv_i if opts.use_pallas else None)
 
-    dfeats = jax.vmap(per_image)(g, boxes)         # list of (B, H, W, C) f32
+    dfeats = jax.vmap(per_image)(g, boxes, lvls)   # list of (B, H, W, C) f32
     dfeats = tuple(d.astype(jnp.dtype(t))
                    for d, t in zip(dfeats, opts.dtypes))
     # ZERO cotangent for boxes: d2 parity — proposals are created under
-    # torch.no_grad and `train_forward` stop_gradients ROI boxes, so no
+    # torch.no_grad and `_pool` structurally stop_gradients ROI boxes, so no
     # caller ever differentiates through coordinates.  (Returning the true
     # coordinate gradient would re-materialize the per-corner sample tensors
     # this pooler exists to avoid.)
-    return dfeats, jnp.zeros_like(boxes)
+    dvalid = None if valid is None else jnp.zeros_like(valid)
+    return dfeats, jnp.zeros_like(boxes), dvalid
 
 
 _train_pool.defvjp(_train_pool_fwd, _train_pool_bwd)
@@ -515,7 +572,8 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
                                strides: Sequence[int], output_size: int,
                                sampling_ratio: int, aligned: bool,
                                min_level: int = 2, chunk: int = 32,
-                               use_pallas: bool = True) -> jnp.ndarray:
+                               use_pallas: bool = True,
+                               valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched FPN ROIAlign for TRAINING: features (B, H_l, W_l, C) x L,
     boxes (B, N, 4) -> (B, N, P, P, C) float32.
 
@@ -524,14 +582,21 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
     hand-written adjoint of the XLA gather formulation
     (`multilevel_roi_align_adjoint`) — the same corner-weight scatter
     torchvision `roi_align`'s CUDA backward computes (reference pooler
-    contract: `modeling/roi_heads/roi_heads.py:50-55`).  With the Pallas forward the
-    two differ only for window-overflowing ROIs (>5:1 aspect at max level
-    size), which pool from a coarser level in the forward; their gradient
-    scatters to the torchvision-assigned level instead — a documented
-    approximation on out-of-contract ROIs.
+    contract: `modeling/roi_heads/roi_heads.py:50-55`).  With the Pallas
+    forward, the adjoint recomputes the kernel's own level assignment
+    (`pallas_level_idx`: d2 assignment + window-overflow bump), so the
+    gradient scatters to exactly the feature rows the forward read — the
+    pair is a true linear map + transpose for ALL ROIs, including
+    out-of-contract >5:1-aspect ones (tested in
+    `tests/test_roi_train_pool.py::test_out_of_contract_roi_gradient`).
+
+    `valid` (B, N) bool, optional: invalid (padded / unsampled) ROIs pool to
+    zeros at zero kernel cost and contribute nothing to the feature
+    gradient.
 
     `boxes` receive a ZERO cotangent (see `_train_pool_bwd`); callers must
-    not rely on coordinate gradients (train_forward stop_gradients them).
+    not rely on coordinate gradients (`PlaneRCNN._pool` stop_gradients them
+    structurally).
     """
     opts = _TrainPoolOpts(
         strides=tuple(int(s) for s in strides), output_size=int(output_size),
@@ -540,4 +605,5 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
         use_pallas=bool(use_pallas),
         shapes=tuple(tuple(f.shape) for f in features),
         dtypes=tuple(str(f.dtype) for f in features))
-    return _train_pool(tuple(features), boxes, opts)
+    valid_f = None if valid is None else valid.astype(jnp.float32)
+    return _train_pool(tuple(features), boxes, valid_f, opts)

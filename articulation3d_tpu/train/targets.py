@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models.heads import double_angle
 from ..ops.box_ops import encode_deltas, pairwise_iou, smooth_l1_loss
-from ..ops.roi_align import roi_align_level
+from ..ops.roi_align import _sample_coords
 
 
 # --------------------------------------------------------------------------- #
@@ -213,19 +213,61 @@ def sample_rois(proposal_boxes: jnp.ndarray, proposal_valid: jnp.ndarray,
 # --------------------------------------------------------------------------- #
 
 def crop_gt_masks(gt_masks: jnp.ndarray, matched_idx: jnp.ndarray,
-                  boxes: jnp.ndarray, mask_size: int) -> jnp.ndarray:
-    """d2 BitMasks.crop_and_resize: aligned ROIAlign of each GT bitmask in its
-    matched proposal box, thresholded at 0.5.  gt_masks: (G, H, W)."""
-    src = gt_masks[matched_idx]          # (S, H, W)
+                  boxes: jnp.ndarray, mask_size: int,
+                  chunk: int = 64) -> jnp.ndarray:
+    """d2 BitMasks.crop_and_resize: aligned ROIAlign of each GT bitmask in
+    its matched proposal box, thresholded at 0.5.  gt_masks: (G, H, W).
 
-    def per_roi(m, b):
-        pooled = roi_align_level(m[:, :, None], b[None], spatial_scale=1.0,
-                                 output_size=mask_size, sampling_ratio=2,
-                                 aligned=True)
-        return pooled[0, :, :, 0]
+    TPU formulation: ROIAlign of a FULL-IMAGE single-channel map is a
+    separable linear map, so each crop is two small MXU matmuls
 
-    crops = jax.vmap(per_roi)(src, boxes)
+        crop[s] = Ry[s] (P, H) @ mask[g(s)] (H, W) @ Rx[s]^T (W, P)
+
+    with Ry/Rx folding the sampling grid + bilinear weights + bin averaging
+    (`roi_align_pallas._separable_weights`, the same helper the inference
+    kernel uses).  The prior per-ROI gather formulation issued ~6.4M
+    scattered SINGLE-FLOAT gathers per image (rows of width C=1) and was
+    the stage-3 training step's dominant cost (~1.3s/step at ims 8,
+    PROFILE.md "Training attribution"); this runs the identical math as
+    dense f32 matmuls.  Chunked over ROIs to bound the gathered mask slab.
+    """
+    from ..ops.roi_align_pallas import _separable_weights
+
+    g_cap, h, w = gt_masks.shape
+    s = boxes.shape[0]
+    p = mask_size
+    # d2 crop_and_resize convention: spatial_scale 1, sampling_ratio 2,
+    # aligned (half-pixel) sampling
+    ys, xs, y_mask, x_mask = _sample_coords(boxes, 1.0, p, 2, True,
+                                            adaptive_cap=2)
+    n2 = jnp.full((s,), 2, jnp.int32)
+    ry = _separable_weights(ys, y_mask, n2, jnp.full((s,), h, jnp.int32),
+                            jnp.zeros((s,), jnp.int32), h)      # (S, P, H)
+    rx = _separable_weights(xs, x_mask, n2, jnp.full((s,), w, jnp.int32),
+                            jnp.zeros((s,), jnp.int32), w)      # (S, P, W)
+
+    chunk = max(1, min(chunk, s))
+    masks_f = gt_masks.astype(jnp.float32)
+
+    def chunk_fn(args):
+        ry_c, rx_c, mi_c = args
+        m_c = masks_f[mi_c]                                     # (K, H, W)
+        t = jnp.einsum("sqh,shw->sqw", ry_c, m_c,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("sqw,spw->sqp", t, rx_c,
+                          precision=jax.lax.Precision.HIGHEST)  # (K, P, P)
+
+    pad = (-s) % chunk
+    mi = matched_idx
+    if pad:
+        ry = jnp.pad(ry, ((0, pad), (0, 0), (0, 0)))
+        rx = jnp.pad(rx, ((0, pad), (0, 0), (0, 0)))
+        mi = jnp.pad(mi, (0, pad))
+    resh = lambda a: a.reshape((-1, chunk) + a.shape[1:])
+    crops = jax.lax.map(chunk_fn, (resh(ry), resh(rx), resh(mi)))
+    crops = crops.reshape(-1, p, p)[:s]
     return (crops >= 0.5).astype(jnp.float32)
+
 
 
 def _softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

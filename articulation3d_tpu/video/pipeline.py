@@ -131,14 +131,21 @@ def make_inference_step(config: Config, model: PlaneRCNN,
             # readback as packed bitmaps (8 pixels/byte); host unpacks
             result["full_masks_packed"] = pack_masks_bits(full)
         if "depth" in out:
-            result["depth"] = out["depth"]
-            # depth-based offset override needs depth and masks at the same
-            # resolution (the reference runs everything at 480x640)
+            # depth-based offset override runs ON DEVICE at full f32 — only
+            # the WIRE format is quantized (below), so plane params are
+            # unaffected by the readback encoding
             if (det.planes is not None and det.masks is not None
                     and out["depth"].shape[1:] == (out_h, out_w)):
                 result["planes"] = jax.vmap(
                     lambda p, m, d: override_plane_offsets(p, m, d, rays))(
                         result["planes"], full, out["depth"])
+            # u16 millimeters over the dev tunnel (4x vs f32): the
+            # reference's own depth GT is u16 mm on disk (mapper loads
+            # depth/1000, `data/planercnn_transforms.py:300`), so 0.5mm
+            # quantization is below the source data's own resolution.
+            # Host side decodes back to f32 meters in `VideoPipeline.run`.
+            result["depth_mm_u16"] = jnp.clip(
+                out["depth"] * 1000.0, 0.0, 65535.0).astype(jnp.uint16)
         return result
 
     return step
@@ -187,6 +194,8 @@ class VideoPipeline:
                 out["full_masks"] = np.unpackbits(
                     out.pop("full_masks_packed"), axis=-1,
                     count=self.output_width).astype(bool)
+            if "depth_mm_u16" in out:
+                out["depth"] = out.pop("depth_mm_u16").astype(np.float32) / 1000.0
             for i in range(n_real):
                 preds.append(self._to_frame_prediction(out, i))
                 depths.append(out["depth"][i] if "depth" in out else None)

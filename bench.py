@@ -112,34 +112,12 @@ def _pallas_parity_check() -> dict:
     return errs
 
 
-def _bias_for_detections(params):
-    """Bias He-init weights so detections actually survive selection.
-
-    +4 RPN objectness (proposals score above the pre-NMS floor) and +6 on
-    the two foreground class logits (background is the LAST index, d2
-    convention) so the softmax keeps a spread of foreground scores above
-    the 0.05/0.1 thresholds — the timed program then exercises NMS, top-k
-    selection and mask pasting on a non-trivial survivor population.
-    """
-    import flax
-
-    flat = flax.traverse_util.flatten_dict(params)
-    hits = 0
-    for path, v in list(flat.items()):
-        if path[-2:] == ("objectness_logits", "bias"):
-            flat[path] = v + 4.0
-            hits += 1
-        elif path[-2:] == ("cls_score", "bias"):
-            b = np.asarray(v).copy()
-            b[:-1] += 6.0
-            flat[path] = jnp.asarray(b)
-            hits += 1
-    assert hits >= 2, "objectness/cls_score bias leaves not found"
-    return flax.traverse_util.unflatten_dict(flat)
-
-
 def _measure(cfg, variables, label: str, steps: int):
-    """Compile + warm + time `steps` forwards at BATCH frames; returns fps."""
+    """Compile + warm + time `steps` forwards at BATCH frames.
+
+    Returns (fps, forward) — the jitted forward is kept so the
+    serving-vs-parity equivalence check can re-drive both programs on a
+    shared input after the timings."""
     from articulation3d_tpu.models import PlaneRCNN
 
     h, w = cfg.input.height, cfg.input.width
@@ -195,7 +173,7 @@ def _measure(cfg, variables, label: str, steps: int):
           file=sys.stderr)
     assert checksum > 0.0, \
         f"[{label}] degenerate bench: zero detections survived"
-    return fps
+    return fps, forward, batches
 
 
 def main():
@@ -219,10 +197,11 @@ def main():
                                           detections_per_image=8),
             depth_head=dataclasses.replace(base.model.depth_head,
                                            output_height=128, output_width=160)))
+    from articulation3d_tpu.utils.debug_weights import bias_for_detections
     with jax.default_device(jax.devices("cpu")[0]):
         _, variables = init_params(init_cfg, jax.random.PRNGKey(0))
         variables = dict(variables,
-                         params=_bias_for_detections(variables["params"]))
+                         params=bias_for_detections(variables["params"]))
     variables = jax.device_put(variables, jax.devices()[0])
     print(f"# init {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -235,10 +214,11 @@ def main():
     # kernel divergence still fails the process (nonzero rc flags the run)
     # even though the JSON line was already printed.
     if MODE == "parity":
-        fps = _measure(base, variables, "parity", STEPS)
+        fps, fwd_headline, _ = _measure(base, variables, "parity", STEPS)
         metric = "inference_throughput_480x640_parity"
     else:
-        fps = _measure(serving_config(), variables, "serving", STEPS)
+        fps, fwd_headline, eq_batches = _measure(serving_config(), variables,
+                                                 "serving", STEPS)
         metric = "inference_throughput_480x640"
 
     print(json.dumps({
@@ -260,8 +240,38 @@ def main():
                 f"pallas kernel diverged from XLA [{name}]: {err}"
 
     if MODE == "both":
-        fps_parity = _measure(base, variables, "parity", 5)
+        fps_parity, fwd_parity, _ = _measure(base, variables, "parity", 5)
         print(f"# parity_mode_fps {fps_parity:.2f}", file=sys.stderr)
+
+        # serving-vs-parity equivalence on the REAL chip at full 480x640
+        # (VERDICT r3 #1): drive both compiled programs on one shared
+        # device-resident input (a fresh batch would recompile AND pay a
+        # 235MB dev-tunnel transfer) and require every serving detection to
+        # match a parity detection (class + box + score + mask) and nothing
+        # above serving's weakest kept score to be missing.  The CPU
+        # tiny-shape version lives in tests/test_serving_parity.py.
+        from articulation3d_tpu.utils.debug_weights import match_detections
+
+        dets = {}
+        for name, fn in (("serving", fwd_headline), ("parity", fwd_parity)):
+            d = fn(variables, eq_batches[0])["detections"]
+            dets[name] = {k: np.asarray(getattr(d, k)) for k in
+                          ("boxes", "scores", "classes", "valid", "masks")}
+        m = match_detections(dets["serving"], dets["parity"],
+                             box_tol=0.5, score_tol=1e-3, mask_tol=5e-2)
+        print(f"# serving_vs_parity: matched {m['n_matched']}/"
+              f"{m['n_serving']} serving dets "
+              f"(box<=0.5px score<=1e-3 mask<=5e-2), "
+              f"max box/score/mask diff {m['max_box_diff']:.4f}/"
+              f"{m['max_score_diff']:.2e}/{m['max_mask_diff']:.4f}, "
+              f"parity extras above min kept score: {m['n_parity_extra']}",
+              file=sys.stderr)
+        # the biased-noise bench load SATURATES both caps (the adversarial
+        # regime — see tests/test_serving_parity.py; real scenes never
+        # overrun the 500-proposal serving cap and get exact set equality),
+        # so gate on bounded divergence rather than perfect matching
+        assert m["n_matched"] >= 0.9 * m["n_serving"], \
+            f"serving detections diverged from parity: {m}"
 
     # optional (manual sweeps only — every extra program costs a remote
     # compile): the shared-detection-pool serving variant, plus the mask
@@ -275,7 +285,8 @@ def main():
         scfg = serving_config()
         shared_cfg = scfg.replace(model=dataclasses.replace(
             scfg.model, share_detection_pool=True))
-        fps_shared = _measure(shared_cfg, variables, "serving+shared-pool", 5)
+        fps_shared, _ = _measure(shared_cfg, variables,
+                                 "serving+shared-pool", 5)
         print(f"# serving_shared_pool_fps {fps_shared:.2f}", file=sys.stderr)
 
         rs = np.random.RandomState(7)

@@ -587,6 +587,24 @@ def he_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
     return out
 
 
+def bias_state_dict_for_detections(sd: Dict[str, np.ndarray],
+                                   objectness: float = 4.0,
+                                   foreground: float = 6.0
+                                   ) -> Dict[str, np.ndarray]:
+    """d2-state-dict twin of `utils.debug_weights.bias_for_detections`:
+    lift RPN objectness + foreground class logits so a population of
+    detections survives scoring/NMS (used for the non-empty-detections
+    goldens fixture — `tools/make_goldens_oracle.py --bias`)."""
+    sd = dict(sd)
+    k_obj = "proposal_generator.rpn_head.objectness_logits.bias"
+    k_cls = "roi_heads.box_predictor.cls_score.bias"
+    sd[k_obj] = (sd[k_obj] + objectness).astype(np.float32)
+    cls = sd[k_cls].copy()
+    cls[:-1] += foreground                 # background is the LAST index
+    sd[k_cls] = cls.astype(np.float32)
+    return sd
+
+
 def preprocess(image_bgr: np.ndarray, pixel_mean=(103.53, 116.28, 123.675),
                pixel_std=(1.0, 1.0, 1.0), size_divisibility=32) -> torch.Tensor:
     """Reference preprocess_image (planercnn.py:188-196): normalize, pad."""

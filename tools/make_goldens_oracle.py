@@ -42,22 +42,34 @@ DETS = 8
 SCORE_THRESH = 0.05
 
 
-def build_oracle_goldens(seed: int = 0, image_seed: int = 7) -> dict:
-    """{goldens-schema key: array} from one oracle forward (see module doc)."""
+def build_oracle_goldens(seed: int = 0, image_seed: int = 7,
+                         h: int = H, w: int = W, topk: int = TOPK,
+                         dets: int = DETS, bias: bool = False) -> dict:
+    """{goldens-schema key: array} from one oracle forward (see module doc).
+
+    `bias=True` lifts the RPN-objectness / foreground-class biases
+    (`torch_oracle.bias_state_dict_for_detections`) so a realistic survivor
+    population flows through NMS/paste — the second committed fixture
+    (VERDICT r3 #7) exercises golden matching on a NON-empty detection set
+    at 128x160.
+    """
     import torch
-    from torch_oracle import PlaneRCNNOracle, he_state_dict, preprocess
+    from torch_oracle import (PlaneRCNNOracle, bias_state_dict_for_detections,
+                              he_state_dict, preprocess)
 
     state_dict = he_state_dict(seed)
-    oracle = PlaneRCNNOracle(pre_nms_topk=TOPK, post_nms_topk=TOPK,
+    if bias:
+        state_dict = bias_state_dict_for_detections(state_dict)
+    oracle = PlaneRCNNOracle(pre_nms_topk=topk, post_nms_topk=topk,
                              score_thresh=SCORE_THRESH,
-                             detections_per_image=DETS, depth_hw=(H, W))
+                             detections_per_image=dets, depth_hw=(h, w))
     missing, unexpected = oracle.load_state_dict(
         {k: torch.from_numpy(v) for k, v in state_dict.items()}, strict=False)
     assert not missing, missing
     assert all("anchor_generator" in k for k in unexpected), unexpected
 
     rs = np.random.RandomState(image_seed)
-    image = rs.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    image = rs.randint(0, 255, (h, w, 3)).astype(np.uint8)
     with torch.no_grad():
         t_out = oracle(preprocess(image))
 
@@ -75,10 +87,11 @@ def build_oracle_goldens(seed: int = 0, image_seed: int = 7) -> dict:
     goldens["pred_tran_axis"] = t_out["tran_axis"].astype(np.float32)
     goldens["depth"] = t_out["depth"].astype(np.float32)
     # config the consumer must rebuild to reproduce this run
-    goldens["meta_topk"] = np.asarray(TOPK, np.int32)
-    goldens["meta_dets"] = np.asarray(DETS, np.int32)
+    goldens["meta_topk"] = np.asarray(topk, np.int32)
+    goldens["meta_dets"] = np.asarray(dets, np.int32)
     goldens["meta_score_thresh"] = np.asarray(SCORE_THRESH, np.float32)
     goldens["meta_weights_seed"] = np.asarray(seed, np.int32)
+    goldens["meta_bias"] = np.asarray(1 if bias else 0, np.int32)
     return goldens
 
 
@@ -87,11 +100,20 @@ def main():
     ap.add_argument("--output", default=os.path.join(
         _ROOT, "tests", "fixtures", "golden_oracle_64x96.npz"))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--height", type=int, default=H)
+    ap.add_argument("--width", type=int, default=W)
+    ap.add_argument("--topk", type=int, default=TOPK)
+    ap.add_argument("--dets", type=int, default=DETS)
+    ap.add_argument("--bias", action="store_true",
+                    help="bias objectness/class logits for a non-empty "
+                         "survivor population (second fixture)")
     args = ap.parse_args()
 
     from articulation3d_tpu.evaluation.goldens import save_goldens
 
-    goldens = build_oracle_goldens(args.seed)
+    goldens = build_oracle_goldens(args.seed, h=args.height, w=args.width,
+                                   topk=args.topk, dets=args.dets,
+                                   bias=args.bias)
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
     save_goldens(args.output, goldens)
     n_det = int((goldens["det_scores"] > SCORE_THRESH).sum())

@@ -93,10 +93,13 @@ def main():
             dt = _time_fn(jax.jit(reduced(fn)), (variables, images),
                           args.steps)
         except Exception as e:
+            # record WHY instead of a bare nan row (the XLA gather pooler
+            # OOMs HBM at batch >= 32: its scattered-row gathers
+            # materialize per-sample intermediates — PROFILE.md notes)
             print(f"{name:<28} FAILED: {type(e).__name__}", flush=True)
-            rows.append((name, float("nan"), float("nan")))
+            rows.append((name, f"{type(e).__name__} (see notes)", ""))
             return
-        rows.append((name, dt * 1000, b / dt))
+        rows.append((name, f"{dt*1000:.1f}", f"{b/dt:.1f}"))
         print(f"{name:<28} {dt*1000:8.1f} ms/step  {b/dt:7.1f} f/s",
               flush=True)
 
@@ -132,7 +135,7 @@ def main():
     backend = jax.default_backend()
     table = [f"## Latest measured stage table (batch={b}, {backend})", "",
              "| stage | ms/step | frames/s |", "|---|---|---|"]
-    table += [f"| {name} | {ms:.1f} | {fps:.1f} |" for name, ms, fps in rows]
+    table += [f"| {name} | {ms} | {fps} |" for name, ms, fps in rows]
     block = "\n".join(table) + "\n"
     begin, end = "<!-- profile:begin -->", "<!-- profile:end -->"
     # update only the marked section so the hand-curated analysis/history in

@@ -103,6 +103,28 @@ def main():  # noqa: C901
 
     stage("features fwd+bwd", feat_grad, (params, batch["images"]))
 
+    # depth decoder isolated at train shapes (stage 3's widest non-ROI
+    # module: 5 conv lanes + 5 deconv merges at up to 120x160, bilinear to
+    # 480x640) — from precomputed FPN features so only the decoder is timed
+    if cfg.model.depth_on:
+        feats0 = jax.jit(lambda p, im: model.apply(
+            {"params": p, "batch_stats": batch_stats}, im,
+            method=PlaneRCNN.features))(params, batch["images"])
+        jax.block_until_ready(feats0)
+
+        def depth_fwd(p, fs):
+            return model.apply({"params": p, "batch_stats": batch_stats}, fs,
+                               train=False,
+                               method=lambda m, f, train: m.depth_head(
+                                   f, train=train)).sum()
+
+        stage("depth head fwd", depth_fwd, (params, feats0))
+
+        def depth_grad(p, fs):
+            return _reduce(jax.grad(lambda pp: depth_fwd(pp, fs))(p))
+
+        stage("depth head fwd+bwd", depth_grad, (params, feats0))
+
     def loss_fwd(p, b, k):
         losses, _ = compute_losses(model, p, batch_stats, b, k, cfg)
         return sum(jnp.asarray(v, jnp.float32) for v in losses.values())
@@ -119,9 +141,15 @@ def main():  # noqa: C901
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=opt_state)
     step_fn = make_train_step(cfg, model, tx)
-    stage("full step (grad+optimizer)",
-          lambda s, b, k: step_fn(s, b, k)[1]["total_loss"],
-          (state, batch, key))
+
+    def full_step(s, b, k):
+        # the timed value must DEPEND on the updated state: reading only
+        # total_loss lets XLA dead-code-eliminate the whole backward +
+        # optimizer (measured: the DCE'd program runs at forward-only time)
+        ns, metrics = step_fn(s, b, k)
+        return metrics["total_loss"] + _reduce(ns.params)
+
+    stage("full step (grad+optimizer)", full_step, (state, batch, key))
 
     # -- the training pooler in isolation at train shapes -------------------
     from articulation3d_tpu.models.planercnn import ROI_STRIDES
