@@ -46,6 +46,21 @@ class ResNetConfig:
     # trade for large training batches (stage-1 at ims/batch 16 on one v5e
     # OOMs without it)
     remat: bool = False
+    # compute the 7x7/s2 stem conv as an exactly-equivalent 4x4/s1 conv on
+    # 2x2-regrouped pixels (12 input channels instead of 3 on the MXU's
+    # contraction dim) — the standard TPU ResNet space-to-depth transform;
+    # same (7,7,3,64) parameter, rearranged at apply time, so checkpoints
+    # port 1:1 either way (models/resnet.py::_StemConvS2D).  Default OFF:
+    # measured NO win on v5e (67.6 vs 63.7 ms backbone fwd, batch 64 —
+    # XLA already pads the 3-channel stem efficiently); kept as a tested
+    # option for parts where the stem dominates.  Exact at true f32 (CPU
+    # parity test, tests/test_model.py); ON CHIP even f32 convs round MXU
+    # inputs to bf16, so the regrouped conv's different tap-summation
+    # order drifts activations ~2^-9 and borderline NMS orderings can
+    # permute detection slots — detections agree as a SET (measured
+    # on-chip: 14/16 within 2px/5e-2 on chaotic random-biased weights;
+    # ties at NMS thresholds account for the rest).
+    space_to_depth_stem: bool = False
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,50 @@ class ConvBN(nn.Module):
         return FrozenBatchNorm(self.features, dtype=self.dtype, name="norm")(x)
 
 
+class _StemConvS2D(nn.Module):
+    """The stem's 7x7/stride-2 conv computed space-to-depth.
+
+    A 7x7/s2 conv on (H, W, 3) puts 3 input channels on the MXU's 128-lane
+    contraction dim (<3% utilization).  Zero-padding the kernel to 8x8 and
+    regrouping 2x2 input pixels into channels turns it into an EXACTLY
+    equivalent 4x4/stride-1 VALID conv on (H/2+3, W/2+3, 12) — same FLOPs,
+    4x the contraction width, half the spatial extent (the standard TPU
+    ResNet space-to-depth transform; cf. the MLPerf TPU ResNet reference).
+
+    The parameter stays the port-compatible (7, 7, 3, 64) HWIO kernel under
+    the same `stem/conv/kernel` path — the rearrangement happens at apply
+    time on the 9.4 KB kernel, so d2 checkpoints port 1:1 and the flag can
+    flip without re-porting (parity test: tests/test_model.py).
+    Requires even H and W (every shipped input size; asserted).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features), jnp.float32)
+        # 7x7 -> 8x8 (zero row/col at the high index; the extra taps read
+        # in-bounds rows of the 3-padded input and carry zero weight)
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin,
+                                                    self.features)
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        hp, wp = h + 6, w + 6
+        z = xp.reshape(b, hp // 2, 2, wp // 2, 2, cin)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2,
+                                                  4 * cin)
+        out = jax.lax.conv_general_dilated(
+            z.astype(self.dtype), k4.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out  # (B, H/2, W/2, features)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck; stride on the 1x1 when stride_in_1x1."""
 
@@ -106,7 +150,20 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
 
         # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
-        x = ConvBN(c.stem_out_channels, 7, 2, self.dtype, name="stem")(x)
+        if c.space_to_depth_stem:
+            # exact 7x7/s2 conv as a 4x4/s1 conv on 2x2-regrouped pixels
+            # (MXU-friendly; see _StemConvS2D) — identical param tree
+            class _Stem(nn.Module):
+                dtype: Any = self.dtype
+
+                @nn.compact
+                def __call__(s, x, ch=c.stem_out_channels):
+                    x = _StemConvS2D(ch, dtype=s.dtype, name="conv")(x)
+                    return FrozenBatchNorm(ch, dtype=s.dtype, name="norm")(x)
+
+            x = _Stem(name="stem")(x)
+        else:
+            x = ConvBN(c.stem_out_channels, 7, 2, self.dtype, name="stem")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         if c.freeze_at >= 1:

@@ -165,3 +165,36 @@ def test_drpn_head_variant_and_port():
 
     out, _ = rpn.apply(v, feats, image_height=64, image_width=80)
     assert out["boxes"].shape == (1, 16, 4)
+
+
+def test_space_to_depth_stem_exact():
+    """The s2d stem (4x4/s1 conv on 2x2-regrouped pixels) is numerically
+    equivalent to the direct 7x7/s2 stem conv, with an IDENTICAL param tree
+    (same `stem/conv/kernel` (7,7,3,64) leaf -> checkpoints port 1:1)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from articulation3d_tpu.config import ResNetConfig
+    from articulation3d_tpu.models.resnet import ResNet
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 64, 96, 3), jnp.float32)
+
+    direct = ResNet(ResNetConfig(space_to_depth_stem=False))
+    s2d = ResNet(ResNetConfig(space_to_depth_stem=True))
+    variables = direct.init(jax.random.PRNGKey(0), x)
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    flat2 = jax.tree_util.tree_flatten_with_path(v2)[0]
+    assert [p for p, _ in flat] == [p for p, _ in flat2]
+    assert variables["params"]["stem"]["conv"]["kernel"].shape == (7, 7, 3, 64)
+
+    out_d = direct.apply(variables, x)
+    out_s = s2d.apply(variables, x)
+    for k in out_d:
+        np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_d[k]),
+                                   rtol=1e-4, atol=1e-4)

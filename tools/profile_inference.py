@@ -45,12 +45,17 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--output", default=None, help="markdown path")
+    ap.add_argument("--preset", choices=("parity", "serving"),
+                    default="parity",
+                    help="capacity preset; serving = serving_config caps "
+                         "(PROFILE table rows are labeled with the preset)")
     args = ap.parse_args()
 
-    from articulation3d_tpu.config import inference_config
+    from articulation3d_tpu.config import inference_config, serving_config
     from articulation3d_tpu.models import PlaneRCNN, init_params
+    from articulation3d_tpu.utils.debug_weights import bias_for_detections
 
-    cfg = inference_config()
+    cfg = serving_config() if args.preset == "serving" else inference_config()
     h, w = cfg.input.height, cfg.input.width
     b = args.batch
 
@@ -68,6 +73,11 @@ def main():
     t0 = time.time()
     with jax.default_device(jax.devices("cpu")[0]):
         _, variables = init_params(init_cfg, jax.random.PRNGKey(0))
+        # biased logits: a realistic survivor population through NMS/paste
+        # (raw He-init keeps zero detections, letting the validity
+        # predication zero out the cascade's cost — bench.py rationale)
+        variables = dict(variables,
+                         params=bias_for_detections(variables["params"]))
     variables = jax.device_put(variables, jax.devices()[0])
     jax.block_until_ready(variables)
     print(f"# init {time.time() - t0:.0f}s", file=sys.stderr)
@@ -115,6 +125,12 @@ def main():
 
     stage("+rpn (proposals)", lambda v, im: model.apply(
         v, im, method=to_rpn))
+
+    detonly = PlaneRCNN(cfg.replace(model=dataclasses.replace(
+        cfg.model, mask_on=False, plane_on=False, axis_on=False,
+        depth_on=False)))
+    stage("+box stage (pool+head+NMS)", lambda v, im: detonly.apply(
+        v, im, method=PlaneRCNN.inference))
     stage("full inference (pallas)", lambda v, im: model.apply(
         v, im, method=PlaneRCNN.inference))
 
@@ -133,7 +149,8 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PROFILE.md")
     backend = jax.default_backend()
-    table = [f"## Latest measured stage table (batch={b}, {backend})", "",
+    table = [f"## Latest measured stage table (batch={b}, {backend}, "
+             f"{args.preset} preset, biased weights)", "",
              "| stage | ms/step | frames/s |", "|---|---|---|"]
     table += [f"| {name} | {ms} | {fps} |" for name, ms, fps in rows]
     block = "\n".join(table) + "\n"
