@@ -175,12 +175,23 @@ class VideoPipeline:
                                         output_height=output_height,
                                         output_width=output_width)
 
-    def run(self, frames: Sequence[np.ndarray]) -> List[FramePrediction]:
-        """frames: (H, W, 3) uint8 BGR arrays -> trimmed FramePredictions."""
+    def run(self, frames: Sequence[np.ndarray],
+            verbose: bool = False) -> List[FramePrediction]:
+        """frames: (H, W, 3) uint8 BGR arrays -> trimmed FramePredictions.
+
+        verbose: per-chunk wall-time on stderr — separates the first chunk
+        (jit compile) from steady-state transfer+compute chunks, which is
+        what a throughput claim should quote on the dev-tunnel environment.
+        """
+        import sys
+        import time
+
         preds: List[FramePrediction] = []
         depths: List[np.ndarray] = []
         bs = self.batch_size
+        chunk_walls: List[float] = []
         for start in range(0, len(frames), bs):
+            t0 = time.time()
             chunk = list(frames[start:start + bs])
             n_real = len(chunk)
             while len(chunk) < bs:          # static shapes: pad with repeats
@@ -190,6 +201,12 @@ class VideoPipeline:
                 batch = jax.device_put(batch, batch_sharding(self.mesh))
             out = jax.tree_util.tree_map(np.asarray,
                                          self.step(self.variables, batch))
+            chunk_walls.append(time.time() - t0)
+            if verbose:
+                print(f"#   chunk {len(chunk_walls)}: "
+                      f"{chunk_walls[-1]:.1f}s ({n_real} frames)"
+                      + (" [incl jit compile]" if len(chunk_walls) == 1
+                         else ""), file=sys.stderr, flush=True)
             if "full_masks_packed" in out:
                 out["full_masks"] = np.unpackbits(
                     out.pop("full_masks_packed"), axis=-1,
@@ -199,6 +216,12 @@ class VideoPipeline:
             for i in range(n_real):
                 preds.append(self._to_frame_prediction(out, i))
                 depths.append(out["depth"][i] if "depth" in out else None)
+        if verbose and len(chunk_walls) > 1:
+            steady = chunk_walls[1:]
+            print(f"#   steady-state: {sum(steady) / len(steady):.1f}s/chunk "
+                  f"({bs / (sum(steady) / len(steady)):.1f} frames/s); "
+                  f"first chunk (compile) {chunk_walls[0]:.1f}s",
+                  file=sys.stderr, flush=True)
         self.depths = depths
         return preds
 

@@ -89,7 +89,7 @@ def main():
     t1 = time.time()
     print(f"decoded {len(frames)} frames ({t1 - t0:.1f}s)")
 
-    preds = pipeline.run(frames)
+    preds = pipeline.run(frames, verbose=True)
     t2 = time.time()
     print(f"inference: {t2 - t1:.1f}s "
           f"({len(frames) / (t2 - t1):.1f} frames/s incl. compile+readback)")
