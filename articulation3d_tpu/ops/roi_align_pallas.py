@@ -272,10 +272,17 @@ def _kernel(level_ref, b_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
 
 def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
              strides: Sequence[int], output_size: int, sampling_ratio: int,
-             aligned: bool, min_level: int = 2, valid=None):
+             aligned: bool, min_level: int = 2, valid=None,
+             pad_features: bool = True):
     """Host-side (cheap XLA) prologue shared by the kernel launch and the
     CPU emulation in tests: level assignment, window origins/extents, and
-    the per-ROI separable weight matrices."""
+    the per-ROI separable weight matrices.
+
+    pad_features=False (the adjoint kernel's path) skips building the
+    padded feature arrays — `features` may then be any objects with
+    `.shape`; the returned dict carries the padded SHAPES (`hp`, `wp`)
+    instead of `padded`.
+    """
     bsz, n = boxes.shape[:2]
     p = output_size
     flat_boxes = boxes.reshape(bsz * n, 4)
@@ -312,10 +319,12 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
     # short of the right edge and right-edge samples would get edge-snapped
     # by the defensive clamp in `_separable_weights`
     wp = (np.maximum(ws, span_x) + 7) // 8 * 8
-    padded = [f if (hp[l] == hs[l] and wp[l] == ws[l]) else
-              jnp.pad(f, ((0, 0), (0, int(hp[l] - hs[l])),
-                          (0, int(wp[l] - ws[l])), (0, 0)))
-              for l, f in enumerate(features)]
+    padded = None
+    if pad_features:
+        padded = [f if (hp[l] == hs[l] and wp[l] == ws[l]) else
+                  jnp.pad(f, ((0, 0), (0, int(hp[l] - hs[l])),
+                              (0, int(wp[l] - ws[l])), (0, 0)))
+                  for l, f in enumerate(features)]
     y0_cap = jnp.asarray(hp - span_y, jnp.int32)[levels]          # (T,)
     x0_cap = jnp.asarray(wp - span_x, jnp.int32)[levels]          # 8-aligned
 
@@ -362,7 +371,8 @@ def _prepare(features: Sequence[jnp.ndarray], boxes: jnp.ndarray, *,
 
     batch_ids = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
     return dict(levels=levels, batch_ids=batch_ids, y0=y0, x0=x0,
-                nty=nty, ntx=ntx, ry=ry, rx=rx, padded=padded)
+                nty=nty, ntx=ntx, ry=ry, rx=rx, padded=padded,
+                hp=hp, wp=wp)
 
 
 def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
@@ -471,6 +481,240 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
 
 
 # --------------------------------------------------------------------------- #
+# Pallas ADJOINT kernel: the exact transpose of the forward, as matmuls
+# --------------------------------------------------------------------------- #
+# The XLA adjoint (`multilevel_roi_align_adjoint`) scatter-adds 4 corner
+# weights per sample — millions of single-row scatter updates that XLA
+# lowers to a slow scatter tree (~280 ms for 4096 ROIs on v5e, the dominant
+# cost of trainable-trunk recipes).  This kernel transposes the forward's
+# OWN separable formulation instead: per (ROI, tile)
+#     dt'  = Rx_tile^T @ do          (do = pooled cotangent, kernel layout)
+#     dwin = Ry_tile^T @ dt          (after the same axis swap, reversed)
+#     dfeat[window] += dwin          (VMEM accumulate, sequential grid)
+# The per-level gradient accumulator is a single VMEM SCRATCH buffer,
+# resident across every ROI of an image (grid = (batch, roi_groups)) and
+# manually DMA'd to the HBM output at each image's last group — scratch
+# rather than an out BlockSpec because the pipeline double-buffers out
+# blocks, which would double the accumulator footprint past the 16MB VMEM
+# limit.  TPU grids execute sequentially, so read-modify-write of
+# overlapping ROI windows is race-free by construction.  Because dwin is
+# built from the SAME Ry/Rx the forward used (including the defensive
+# window-edge snap), forward/backward form an exact linear-map/transpose
+# pair for ALL ROIs — even the >8:1 top-level slivers whose edge-snap the
+# XLA adjoint could not reproduce.
+#
+# VMEM budget: a (1, Hp, Wp, cpass) f32 accumulator per level in the
+# launch.  Levels are packed into launches and channels split into blocks
+# of <= 128 so the accumulators fit ~10MB; each (launch, channel-block) is
+# its own pallas_call writing a disjoint channel slice.
+
+ADJ_GROUP = 8   # ROIs per grid step (amortizes fixed per-step cost; the
+                # adjoint has no DMA slots, so the only VMEM cost of a
+                # deeper group is the pipelined g/Ry/Rx in-blocks)
+_ADJ_VMEM_BUDGET = 10 * 2 ** 20
+
+
+def _adjoint_kernel_factory(lvl_ids, group, p, cpass):
+    """Kernel for one (level-set, channel-block) launch.
+
+    The per-level accumulators are SCRATCH VMEM (a single resident copy —
+    an out-BlockSpec accumulator would be double-buffered by the pipeline
+    and blow the 16MB VMEM limit); each image's finished accumulator is
+    manually DMA'd to the HBM output at the image's last ROI group.
+    """
+    n_lvl = len(lvl_ids)
+
+    def kernel(level_ref, y0_ref, x0_ref, nty_ref, ntx_ref,
+               g_ref, ry_ref, rx_ref, *rest):
+        outs = rest[:n_lvl]                       # HBM (ANY) full arrays
+        accs = rest[n_lvl:2 * n_lvl]              # VMEM scratch per level
+        sems = rest[2 * n_lvl:]                   # one DMA sem per level
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+        n_groups = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _zero():   # fresh image: clear the resident accumulators
+            for a in accs:
+                a[...] = jnp.zeros_like(a[...])
+
+        base = (b * n_groups + k) * group
+        for g in range(group):
+            roi = base + g
+            # host layout is [py, px, c]; the forward kernel's internal
+            # layout (which Ry/Rx transpose against) is [px, py, c]
+            do_k = jnp.swapaxes(g_ref[g], 0, 1)
+            for ty in range(N_TILES):
+                for tx in range(N_TILES):
+                    needed = (ty < nty_ref[roi]) & (tx < ntx_ref[roi])
+                    for oi, l in enumerate(lvl_ids):
+
+                        @pl.when(needed & (level_ref[roi] == l))
+                        def _acc(oi=oi, ty=ty, tx=tx, g=g, roi=roi,
+                                 do_k=do_k):
+                            ry = ry_ref[g, ty]          # (P, TILE_Y) f32
+                            rx = rx_ref[g, tx]          # (P, TILE_X) f32
+                            # exact transpose of the forward tile matmuls
+                            dtp = jnp.dot(
+                                rx.T, do_k.reshape(p, p * cpass),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            dt = jnp.swapaxes(
+                                dtp.reshape(TILE_X, p, cpass), 0, 1)
+                            dwin = jnp.dot(
+                                ry.T, dt.reshape(p, TILE_X * cpass),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            yy = y0_ref[roi] + ty * TILE_Y
+                            xx = (pl.multiple_of(x0_ref[roi], 8)
+                                  + tx * TILE_X)
+                            idx = (pl.ds(yy, TILE_Y), pl.ds(xx, TILE_X),
+                                   slice(None))
+                            accs[oi][idx] += dwin.reshape(
+                                TILE_Y, TILE_X, cpass)
+
+        @pl.when(k == n_groups - 1)
+        def _flush():   # image done: ship the accumulators to HBM
+            for oi in range(n_lvl):
+                cp = pltpu.make_async_copy(accs[oi], outs[oi].at[b],
+                                           sems[oi])
+                cp.start()
+                cp.wait()
+
+    return kernel
+
+
+def multilevel_roi_align_adjoint_pallas(
+        g: jnp.ndarray, boxes: jnp.ndarray,
+        feat_shapes: Sequence[Sequence[int]], *, strides: Sequence[int],
+        output_size: int, sampling_ratio: int, aligned: bool,
+        min_level: int = 2, valid: jnp.ndarray | None = None):
+    """Adjoint of `multilevel_roi_align_pallas` w.r.t. the FEATURES.
+
+    g: (B, N, P, P, C) f32 pooled cotangent; boxes: (B, N, 4);
+    feat_shapes: per-level full (B, H_l, W_l, C).
+    Returns the per-level (B, H_l, W_l, C) float32 feature gradients.
+    """
+    bsz, n = boxes.shape[:2]
+    p = int(output_size)
+    c = int(feat_shapes[0][-1])
+    if bsz * n > MAX_ROIS_PER_LAUNCH:
+        # images are independent: recurse over batch chunks (same SMEM
+        # scalar-prefetch bound as the forward kernel)
+        img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
+        kw = dict(strides=strides, output_size=output_size,
+                  sampling_ratio=sampling_ratio, aligned=aligned,
+                  min_level=min_level)
+        parts = []
+        for s in range(0, bsz, img_chunk):
+            e = min(s + img_chunk, bsz)
+            shapes_c = [(e - s,) + tuple(sh[1:]) for sh in feat_shapes]
+            parts.append(multilevel_roi_align_adjoint_pallas(
+                g[s:e], boxes[s:e], shapes_c,
+                valid=None if valid is None else valid[s:e], **kw))
+        return [jnp.concatenate([pt[l] for pt in parts], axis=0)
+                for l in range(len(feat_shapes))]
+
+    shape_stubs = [jax.ShapeDtypeStruct(tuple(sh), jnp.float32)
+                   for sh in feat_shapes]
+    pr = _prepare(shape_stubs, boxes, strides=strides,
+                  output_size=output_size, sampling_ratio=sampling_ratio,
+                  aligned=aligned, min_level=min_level, valid=valid,
+                  pad_features=False)
+    hp, wp = pr["hp"], pr["wp"]
+
+    group = ADJ_GROUP
+    n_pad = ((n + group - 1) // group) * group
+    n_groups = n_pad // group
+
+    def pad_n(a, fill=0):
+        """(B*N, ...) -> (B*Npad, ...) padded PER IMAGE (b-major layout)."""
+        a = a.reshape((bsz, n) + a.shape[1:])
+        if n_pad != n:
+            widths = [(0, 0), (0, n_pad - n)] + [(0, 0)] * (a.ndim - 2)
+            a = jnp.pad(a, widths, constant_values=fill)
+        return a.reshape((bsz * n_pad,) + a.shape[2:])
+
+    levels = pad_n(pr["levels"])
+    y0 = pad_n(pr["y0"])
+    x0 = pad_n(pr["x0"])
+    nty = pad_n(pr["nty"])          # padded ROIs: 0 tiles -> fully skipped
+    ntx = pad_n(pr["ntx"], fill=1)
+    ry = pad_n(pr["ry"])
+    rx = pad_n(pr["rx"])
+    g_flat = pad_n(g.astype(jnp.float32).reshape(bsz * n, p, p, c))
+
+    # channel blocks: split so the largest per-level accumulator fits
+    cpass = c
+    while (cpass > 128 and cpass % 2 == 0 and
+           int(max(hp[l] * wp[l] for l in range(len(feat_shapes))))
+           * cpass * 4 > _ADJ_VMEM_BUDGET):
+        cpass //= 2
+    n_cblocks = c // cpass
+    assert cpass * n_cblocks == c, (c, cpass)
+
+    # pack levels into launches under the accumulator budget
+    acc_bytes = [int(hp[l]) * int(wp[l]) * cpass * 4
+                 for l in range(len(feat_shapes))]
+    launches, cur, cur_bytes = [], [], 0
+    for l in range(len(feat_shapes)):
+        if cur and cur_bytes + acc_bytes[l] > _ADJ_VMEM_BUDGET:
+            launches.append(tuple(cur))
+            cur, cur_bytes = [], 0
+        cur.append(l)
+        cur_bytes += acc_bytes[l]
+    if cur:
+        launches.append(tuple(cur))
+
+    grads_padded = [[] for _ in feat_shapes]   # per level: channel blocks
+    for lvl_ids in launches:
+        for ci in range(n_cblocks):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(bsz, n_groups),
+                in_specs=[
+                    pl.BlockSpec((group, p, p, cpass),
+                                 lambda b, k, *_, ci=ci, ng=n_groups:
+                                 (b * ng + k, 0, 0, ci),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((group, N_TILES, p, TILE_Y),
+                                 lambda b, k, *_, ng=n_groups:
+                                 (b * ng + k, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((group, N_TILES, p, TILE_X),
+                                 lambda b, k, *_, ng=n_groups:
+                                 (b * ng + k, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY)
+                    for _ in lvl_ids
+                ],
+                scratch_shapes=(
+                    [pltpu.VMEM((int(hp[l]), int(wp[l]), cpass), jnp.float32)
+                     for l in lvl_ids]
+                    + [pltpu.SemaphoreType.DMA] * len(lvl_ids)
+                ),
+            )
+            outs = pl.pallas_call(
+                _adjoint_kernel_factory(lvl_ids, group, p, cpass),
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct(
+                    (bsz, int(hp[l]), int(wp[l]), cpass), jnp.float32)
+                    for l in lvl_ids],
+            )(levels, y0, x0, nty, ntx, g_flat, ry, rx)
+            for oi, l in enumerate(lvl_ids):
+                grads_padded[l].append(outs[oi])
+
+    grads = []
+    for l, sh in enumerate(feat_shapes):
+        gl = (grads_padded[l][0] if n_cblocks == 1
+              else jnp.concatenate(grads_padded[l], axis=-1))
+        grads.append(gl[:, :int(sh[1]), :int(sh[2]), :])
+    return grads
+
+
+# --------------------------------------------------------------------------- #
 # training pooler: Pallas forward + reference-exact transposed backward
 # --------------------------------------------------------------------------- #
 # Static call options, hashable for custom_vjp's nondiff_argnums.  Feature
@@ -479,7 +723,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
 _TrainPoolOpts = collections.namedtuple(
     "_TrainPoolOpts",
     ["strides", "output_size", "sampling_ratio", "aligned", "min_level",
-     "chunk", "use_pallas", "shapes", "dtypes"])
+     "chunk", "use_pallas", "shapes", "dtypes", "adjoint_impl"])
 
 
 def _xla_batched(features, boxes, opts: _TrainPoolOpts) -> jnp.ndarray:
@@ -536,23 +780,39 @@ def _train_pool_bwd(opts, res, g):
         # nothing to the feature gradient
         g = jnp.where((valid > 0.5)[..., None, None, None], g, 0.0)
     bsz, n = boxes.shape[:2]
-    if opts.use_pallas:
-        # scatter to the level the Pallas forward READ: the d2 assignment
-        # plus the window-overflow bump (`pallas_level_idx`), so the
-        # forward/backward pair stays an exact linear map + transpose even
-        # for out-of-contract (>5:1 aspect at max level size) ROIs
-        lvls = _train_levels(boxes.reshape(bsz * n, 4), opts).reshape(bsz, n)
+    if opts.use_pallas and opts.adjoint_impl != "xla":
+        # Pallas adjoint kernel: the exact transpose of the Pallas forward
+        # (same Ry/Rx separable weights, window-accumulated in VMEM) —
+        # replaces the XLA per-corner scatter tree that dominated
+        # trainable-trunk training steps
+        dfeats = multilevel_roi_align_adjoint_pallas(
+            g, boxes, opts.shapes, strides=opts.strides,
+            output_size=opts.output_size,
+            sampling_ratio=opts.sampling_ratio, aligned=opts.aligned,
+            min_level=opts.min_level, valid=None if valid is None
+            else valid > 0.5)
     else:
-        lvls = jnp.zeros((bsz, n), jnp.int32)  # unused placeholder
+        if opts.use_pallas:
+            # scatter to the level the Pallas forward READ: the d2
+            # assignment plus the window-overflow bump
+            # (`pallas_level_idx`), so the forward/backward pair stays an
+            # exact linear map + transpose even for out-of-contract
+            # (>5:1 aspect at max level size) ROIs
+            lvls = _train_levels(boxes.reshape(bsz * n, 4),
+                                 opts).reshape(bsz, n)
+        else:
+            lvls = jnp.zeros((bsz, n), jnp.int32)  # unused placeholder
 
-    def per_image(g_i, bx_i, lv_i):
-        return multilevel_roi_align_adjoint(
-            g_i, bx_i, per_image_shapes, strides=opts.strides,
-            output_size=opts.output_size, sampling_ratio=opts.sampling_ratio,
-            aligned=opts.aligned, min_level=opts.min_level, chunk=opts.chunk,
-            level_idx=lv_i if opts.use_pallas else None)
+        def per_image(g_i, bx_i, lv_i):
+            return multilevel_roi_align_adjoint(
+                g_i, bx_i, per_image_shapes, strides=opts.strides,
+                output_size=opts.output_size,
+                sampling_ratio=opts.sampling_ratio,
+                aligned=opts.aligned, min_level=opts.min_level,
+                chunk=opts.chunk,
+                level_idx=lv_i if opts.use_pallas else None)
 
-    dfeats = jax.vmap(per_image)(g, boxes, lvls)   # list of (B, H, W, C) f32
+        dfeats = jax.vmap(per_image)(g, boxes, lvls)  # list (B, H, W, C) f32
     dfeats = tuple(d.astype(jnp.dtype(t))
                    for d, t in zip(dfeats, opts.dtypes))
     # ZERO cotangent for boxes: d2 parity — proposals are created under
@@ -573,22 +833,26 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
                                sampling_ratio: int, aligned: bool,
                                min_level: int = 2, chunk: int = 32,
                                use_pallas: bool = True,
+                               adjoint_impl: str = "auto",
                                valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched FPN ROIAlign for TRAINING: features (B, H_l, W_l, C) x L,
     boxes (B, N, 4) -> (B, N, P, P, C) float32.
 
     Forward: the Pallas window-DMA kernel (`use_pallas=True`, TPU) or the
-    XLA gather formulation (CPU / forced).  Backward (either way): the
-    hand-written adjoint of the XLA gather formulation
+    XLA gather formulation (CPU / forced).  Backward with the Pallas
+    forward (`adjoint_impl="auto"`): the Pallas ADJOINT kernel
+    (`multilevel_roi_align_adjoint_pallas`) — the exact transpose of the
+    forward's separable matmuls, window-accumulated in VMEM; it reuses the
+    forward's own Ry/Rx weights, so forward/backward form an exact
+    linear-map/transpose pair for ALL ROIs including out-of-contract
+    >5:1-aspect ones (tested in
+    `tests/test_roi_train_pool.py::test_out_of_contract_roi_gradient`).
+    `adjoint_impl="xla"` (and the XLA forward) instead use the
+    hand-written adjoint of the gather formulation
     (`multilevel_roi_align_adjoint`) — the same corner-weight scatter
     torchvision `roi_align`'s CUDA backward computes (reference pooler
-    contract: `modeling/roi_heads/roi_heads.py:50-55`).  With the Pallas
-    forward, the adjoint recomputes the kernel's own level assignment
-    (`pallas_level_idx`: d2 assignment + window-overflow bump), so the
-    gradient scatters to exactly the feature rows the forward read — the
-    pair is a true linear map + transpose for ALL ROIs, including
-    out-of-contract >5:1-aspect ones (tested in
-    `tests/test_roi_train_pool.py::test_out_of_contract_roi_gradient`).
+    contract: `modeling/roi_heads/roi_heads.py:50-55`), with the kernel's
+    own level assignment recomputed via `pallas_level_idx`.
 
     `valid` (B, N) bool, optional: invalid (padded / unsampled) ROIs pool to
     zeros at zero kernel cost and contribute nothing to the feature
@@ -604,6 +868,7 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
         min_level=int(min_level), chunk=int(chunk),
         use_pallas=bool(use_pallas),
         shapes=tuple(tuple(f.shape) for f in features),
-        dtypes=tuple(str(f.dtype) for f in features))
+        dtypes=tuple(str(f.dtype) for f in features),
+        adjoint_impl=str(adjoint_impl))
     valid_f = None if valid is None else valid.astype(jnp.float32)
     return _train_pool(tuple(features), boxes, valid_f, opts)

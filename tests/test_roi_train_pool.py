@@ -154,7 +154,8 @@ def test_out_of_contract_roi_gradient():
                           aligned=aligned, min_level=2, chunk=32,
                           use_pallas=True,
                           shapes=tuple((1,) + f.shape for f in feats),
-                          dtypes=tuple(str(f.dtype) for f in feats))
+                          dtypes=tuple(str(f.dtype) for f in feats),
+                          adjoint_impl="xla")
     lv = _train_levels(boxes, opts)
     np.testing.assert_array_equal(np.asarray(lv), np.asarray(lvl))
     g_adj = multilevel_roi_align_adjoint(
@@ -216,3 +217,99 @@ def test_train_pool_valid_masking():
     for gp, gw in zip(g_plain, g_wrap):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gw),
                                    rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Pallas ADJOINT kernel: CPU emulation of the kernel's exact math
+# --------------------------------------------------------------------------- #
+
+def _emulate_pallas_adjoint(feat_shapes, boxes, g, *, p, sr, aligned,
+                            valid=None):
+    """Replay `multilevel_roi_align_adjoint_pallas`'s per-tile math in numpy
+    using the SAME `_prepare` outputs the kernel launch consumes — the
+    transposed separable matmuls and window accumulation, minus the pallas
+    plumbing (grid, BlockSpecs, VMEM)."""
+    from articulation3d_tpu.ops.roi_align_pallas import (_prepare, N_TILES,
+                                                         TILE_X, TILE_Y)
+
+    bsz, n = boxes.shape[:2]
+    c = feat_shapes[0][-1]
+    stubs = [jax.ShapeDtypeStruct(tuple(s), jnp.float32) for s in feat_shapes]
+    pr = _prepare(stubs, boxes, strides=STRIDES, output_size=p,
+                  sampling_ratio=sr, aligned=aligned, valid=valid,
+                  pad_features=False)
+    levels = np.asarray(pr["levels"])
+    y0, x0 = np.asarray(pr["y0"]), np.asarray(pr["x0"])
+    nty, ntx = np.asarray(pr["nty"]), np.asarray(pr["ntx"])
+    ry, rx = np.asarray(pr["ry"]), np.asarray(pr["rx"])
+    hp, wp = pr["hp"], pr["wp"]
+
+    acc = [np.zeros((bsz, int(hp[l]), int(wp[l]), c), np.float32)
+           for l in range(len(feat_shapes))]
+    gf = np.asarray(g, np.float32).reshape(bsz * n, p, p, c)
+    for t in range(bsz * n):
+        b, l = t // n, int(levels[t])
+        do_k = np.swapaxes(gf[t], 0, 1)                 # [px, py, c]
+        for ty in range(N_TILES):
+            for tx in range(N_TILES):
+                if ty >= nty[t] or tx >= ntx[t]:
+                    continue
+                dtp = rx[t, tx].T @ do_k.reshape(p, p * c)
+                dt = np.swapaxes(dtp.reshape(TILE_X, p, c), 0, 1)
+                dwin = (ry[t, ty].T @ dt.reshape(p, TILE_X * c)).reshape(
+                    TILE_Y, TILE_X, c)
+                yy, xx = y0[t] + ty * TILE_Y, x0[t] + tx * TILE_X
+                acc[l][b, yy:yy + TILE_Y, xx:xx + TILE_X, :] += dwin
+    return [a[:, :s[1], :s[2], :] for a, s in zip(acc, feat_shapes)]
+
+
+@pytest.mark.parametrize("sr,aligned,p", [(0, True, 7), (2, False, 14)])
+def test_pallas_adjoint_emulation_matches_xla_adjoint(sr, aligned, p):
+    """The Pallas adjoint kernel's math (emulated on CPU) equals the XLA
+    corner-scatter adjoint at the kernel's own level assignment — i.e. both
+    realize the transpose of the same linear map for in-contract ROIs."""
+    from articulation3d_tpu.ops.roi_align import multilevel_roi_align_adjoint
+    from articulation3d_tpu.ops.roi_align_pallas import pallas_level_idx
+
+    rs = np.random.RandomState(11)
+    feats = _feats(rs, b=2)
+    shapes = [f.shape for f in feats]
+    boxes = _boxes(rs, b=2, n=6)
+    g = jnp.asarray(rs.randn(2, 6, p, p, 8), jnp.float32)
+
+    got = _emulate_pallas_adjoint(shapes, boxes, g, p=p, sr=sr,
+                                  aligned=aligned)
+
+    lvl = pallas_level_idx(boxes.reshape(-1, 4), n_levels=4, strides=STRIDES,
+                           output_size=p, sampling_ratio=sr,
+                           aligned=aligned).reshape(2, 6)
+    per_image_shapes = [s[1:] for s in shapes]
+
+    def per_image(g_i, bx_i, lv_i):
+        return multilevel_roi_align_adjoint(
+            g_i, bx_i, per_image_shapes, strides=STRIDES, output_size=p,
+            sampling_ratio=sr, aligned=aligned, chunk=32, level_idx=lv_i)
+
+    want = jax.vmap(per_image)(g, boxes, lvl)
+    for ga, gw in zip(got, want):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_adjoint_emulation_valid_masking():
+    """Invalid ROIs contribute nothing: nty=0 predication in `_prepare`."""
+    rs = np.random.RandomState(12)
+    feats = _feats(rs, b=1)
+    shapes = [f.shape for f in feats]
+    boxes = _boxes(rs, b=1, n=4)
+    g = jnp.asarray(rs.randn(1, 4, 7, 7, 8), jnp.float32)
+    valid = jnp.asarray([[True, False, True, False]])
+
+    got = _emulate_pallas_adjoint(shapes, boxes, g, p=7, sr=0, aligned=True,
+                                  valid=valid)
+    # reference: zero the invalid cotangent rows, no valid mask
+    g0 = jnp.where(valid[..., None, None, None], g, 0.0)
+    want = _emulate_pallas_adjoint(shapes, boxes, g0, p=7, sr=0, aligned=True)
+    for ga, gw in zip(got, want):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gw),
+                                   rtol=1e-6, atol=1e-6)

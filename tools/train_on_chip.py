@@ -179,23 +179,37 @@ def main():  # noqa: C901
                            **{k: float(v) for k, v in zip(mkeys, host)}}) + "\n"
 
     losses = [float(np.asarray(metrics["total_loss"]))]
+    # Timed loop: DISPATCH every step, sync once at the end.  The steps are
+    # chained through `state` (donated), so they execute sequentially on
+    # device regardless; a per-step loss fetch would add one dev-tunnel
+    # round trip per step to the measurement (~0.8-1.8s/step depending on
+    # tunnel congestion — it buried a 2.8x device-step win as noise).  The
+    # per-step loss curve is still recorded: the metric handles are
+    # collected during the loop and fetched after the clock stops.
+    pending = []
+    t0 = time.time()
+    for i in range(2, args.steps + 1):
+        state, metrics = step_fn(state, batch, key)
+        pending.append((i, metrics))
+    # value fetch, not block_until_ready: the axon platform's
+    # block_until_ready returns before device work completes (PROFILE.md);
+    # reading the final step counter forces the whole donated-state chain
+    assert int(np.asarray(state.step)) == args.steps
+    dt = time.time() - t0
+    timed = len(pending)
+    sps = timed / dt
+
     with open(mpath, "a") as mf:
         mf.write(metrics_line(1, metrics))
-        t0 = time.time()
-        timed = 0
-        for i in range(2, args.steps + 1):
-            state, metrics = step_fn(state, batch, key)
-            total = float(np.asarray(metrics["total_loss"]))  # forced sync
+        for i, m in pending:
+            total = float(np.asarray(m["total_loss"]))
             losses.append(total)
-            timed += 1
             if i % 5 == 0 or i == args.steps:
-                mf.write(metrics_line(i, metrics))
+                mf.write(metrics_line(i, m))
                 print(f"# step {i}: total_loss {total:.4f}", flush=True)
             else:
                 mf.write(json.dumps({"iteration": i, "stage": args.stage,
                                      "total_loss": total}) + "\n")
-    dt = time.time() - t0
-    sps = timed / dt
     print(f"# {_mem(dev)}", flush=True)
 
     first5 = float(np.mean(losses[:5]))
