@@ -109,6 +109,21 @@ class _StemConvS2D(nn.Module):
         return out  # (B, H/2, W/2, features)
 
 
+class ConvBNS2D(nn.Module):
+    """ConvBN's space-to-depth stem variant: `_StemConvS2D` + FrozenBN,
+    module paths identical to ConvBN's (`conv`, `norm`) so the two are
+    checkpoint-interchangeable."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _StemConvS2D(self.features, dtype=self.dtype, name="conv")(x)
+        return FrozenBatchNorm(self.features, dtype=self.dtype,
+                               name="norm")(x)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck; stride on the 1x1 when stride_in_1x1."""
 
@@ -153,15 +168,7 @@ class ResNet(nn.Module):
         if c.space_to_depth_stem:
             # exact 7x7/s2 conv as a 4x4/s1 conv on 2x2-regrouped pixels
             # (MXU-friendly; see _StemConvS2D) — identical param tree
-            class _Stem(nn.Module):
-                dtype: Any = self.dtype
-
-                @nn.compact
-                def __call__(s, x, ch=c.stem_out_channels):
-                    x = _StemConvS2D(ch, dtype=s.dtype, name="conv")(x)
-                    return FrozenBatchNorm(ch, dtype=s.dtype, name="norm")(x)
-
-            x = _Stem(name="stem")(x)
+            x = ConvBNS2D(c.stem_out_channels, self.dtype, name="stem")(x)
         else:
             x = ConvBN(c.stem_out_channels, 7, 2, self.dtype, name="stem")(x)
         x = nn.relu(x)

@@ -599,20 +599,31 @@ def multilevel_roi_align_adjoint_pallas(
     p = int(output_size)
     c = int(feat_shapes[0][-1])
     if bsz * n > MAX_ROIS_PER_LAUNCH:
-        # images are independent: recurse over batch chunks (same SMEM
-        # scalar-prefetch bound as the forward kernel)
-        img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
         kw = dict(strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
                   min_level=min_level)
         parts = []
-        for s in range(0, bsz, img_chunk):
-            e = min(s + img_chunk, bsz)
-            shapes_c = [(e - s,) + tuple(sh[1:]) for sh in feat_shapes]
+        if bsz > 1:
+            # images are independent: recurse over batch chunks (same SMEM
+            # scalar-prefetch bound as the forward kernel)
+            img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
+            for s in range(0, bsz, img_chunk):
+                e = min(s + img_chunk, bsz)
+                shapes_c = [(e - s,) + tuple(sh[1:]) for sh in feat_shapes]
+                parts.append(multilevel_roi_align_adjoint_pallas(
+                    g[s:e], boxes[s:e], shapes_c,
+                    valid=None if valid is None else valid[s:e], **kw))
+            return [jnp.concatenate([pt[l] for pt in parts], axis=0)
+                    for l in range(len(feat_shapes))]
+        # single image with an oversized ROI set: the gradient is a SUM
+        # over ROIs, so chunk the ROI axis and add the per-chunk grads
+        # (mirrors the forward's ROI-axis split, which concatenates)
+        for s in range(0, n, MAX_ROIS_PER_LAUNCH):
+            e = min(s + MAX_ROIS_PER_LAUNCH, n)
             parts.append(multilevel_roi_align_adjoint_pallas(
-                g[s:e], boxes[s:e], shapes_c,
-                valid=None if valid is None else valid[s:e], **kw))
-        return [jnp.concatenate([pt[l] for pt in parts], axis=0)
+                g[:, s:e], boxes[:, s:e], feat_shapes,
+                valid=None if valid is None else valid[:, s:e], **kw))
+        return [sum(pt[l] for pt in parts)
                 for l in range(len(feat_shapes))]
 
     shape_stubs = [jax.ShapeDtypeStruct(tuple(sh), jnp.float32)
@@ -644,9 +655,12 @@ def multilevel_roi_align_adjoint_pallas(
     rx = pad_n(pr["rx"])
     g_flat = pad_n(g.astype(jnp.float32).reshape(bsz * n, p, p, c))
 
-    # channel blocks: split so the largest per-level accumulator fits
+    # channel blocks: split so the largest per-level accumulator fits.
+    # Splitting below 128 lanes wastes lane bandwidth but keeps inputs
+    # larger than the shipped 480x640 compiling (e.g. 640x864 -> p2
+    # accumulator 17.7MB at 128 channels); floor at 32 to bound the waste.
     cpass = c
-    while (cpass > 128 and cpass % 2 == 0 and
+    while (cpass > 32 and cpass % 2 == 0 and
            int(max(hp[l] * wp[l] for l in range(len(feat_shapes))))
            * cpass * 4 > _ADJ_VMEM_BUDGET):
         cpass //= 2

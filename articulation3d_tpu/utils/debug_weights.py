@@ -57,7 +57,10 @@ def match_detections(serving: dict, parity: dict, *, box_tol: float = 0.5,
     max_mask_diff over matched pairs, and n_parity_extra — parity
     detections with NO serving counterpart whose score exceeds the weakest
     kept serving detection in their frame (the population serving's trimmed
-    capacity actually dropped, as opposed to threshold-noise tails).
+    capacity actually dropped, as opposed to threshold-noise tails).  In a
+    frame where serving keeps NOTHING, every unmatched parity detection
+    counts as extra — total per-frame detection loss must not pass the
+    `n_parity_extra == 0` gates vacuously.
     """
     b = serving["boxes"].shape[0]
     n_serving = n_matched = n_extra = 0
@@ -67,30 +70,38 @@ def match_detections(serving: dict, parity: dict, *, box_tol: float = 0.5,
         pv = np.nonzero(parity["valid"][f])[0]
         n_serving += len(sv)
         used = set()
-        min_kept = serving["scores"][f][sv].min() if len(sv) else np.inf
+        min_kept = serving["scores"][f][sv].min() if len(sv) else -np.inf
         for i in sv:
-            best, best_d = None, np.inf
+            # consider EVERY same-class candidate within box_tol, nearest
+            # first, and accept the first that also passes the score/mask
+            # tolerances — a nearest-only pick would spuriously reject a
+            # detection whose true counterpart sits 0.1px behind an
+            # unrelated same-class box (the cap-saturated NMS-shift regime)
+            cands = []
             for j in pv:
-                if j in used or parity["classes"][f][j] != serving["classes"][f][i]:
+                if (j in used
+                        or parity["classes"][f][j] != serving["classes"][f][i]):
                     continue
-                d = np.abs(parity["boxes"][f][j] - serving["boxes"][f][i]).max()
-                if d < best_d:
-                    best, best_d = j, d
-            if best is None or best_d > box_tol:
-                continue
-            sd = abs(float(parity["scores"][f][best] - serving["scores"][f][i]))
-            if sd > score_tol:
-                continue
-            if "masks" in serving and serving["masks"] is not None:
-                md = float(np.abs(parity["masks"][f][best]
-                                  - serving["masks"][f][i]).max())
-                if md > mask_tol:
+                d = np.abs(parity["boxes"][f][j]
+                           - serving["boxes"][f][i]).max()
+                if d <= box_tol:
+                    cands.append((float(d), j))
+            for d, j in sorted(cands):
+                sd = abs(float(parity["scores"][f][j]
+                               - serving["scores"][f][i]))
+                if sd > score_tol:
                     continue
-                max_mask = max(max_mask, md)
-            used.add(best)
-            n_matched += 1
-            max_box = max(max_box, float(best_d))
-            max_score = max(max_score, sd)
+                if "masks" in serving and serving["masks"] is not None:
+                    md = float(np.abs(parity["masks"][f][j]
+                                      - serving["masks"][f][i]).max())
+                    if md > mask_tol:
+                        continue
+                    max_mask = max(max_mask, md)
+                used.add(j)
+                n_matched += 1
+                max_box = max(max_box, d)
+                max_score = max(max_score, sd)
+                break
         for j in pv:
             if j not in used and parity["scores"][f][j] > min_kept:
                 n_extra += 1

@@ -302,6 +302,8 @@ def main():
                           ("boxes", "scores", "classes", "valid", "masks")}
         m = match_detections(dets["serving"], dets["parity"],
                              box_tol=0.5, score_tol=1e-3, mask_tol=5e-2)
+        assert m["n_serving"] > 0, \
+            "serving-vs-parity check is vacuous: zero serving detections"
         print(f"# serving_vs_parity: matched {m['n_matched']}/"
               f"{m['n_serving']} serving dets "
               f"(box<=0.5px score<=1e-3 mask<=5e-2), "
@@ -328,8 +330,8 @@ def main():
         scfg = serving_config()
         shared_cfg = scfg.replace(model=dataclasses.replace(
             scfg.model, share_detection_pool=True))
-        fps_shared, _ = _measure(shared_cfg, variables,
-                                 "serving+shared-pool", 5)
+        fps_shared, _, _ = _measure(shared_cfg, variables,
+                                    "serving+shared-pool", 5)
         print(f"# serving_shared_pool_fps {fps_shared:.2f}", file=sys.stderr)
 
         rs = np.random.RandomState(7)

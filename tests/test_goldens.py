@@ -183,11 +183,14 @@ def test_committed_oracle_fixture_via_compare_goldens(tmp_path, fixture_name,
         else:
             # biased fixture: the axis towers L2-normalize a near-zero
             # He-init output, so the (sin, cos) DIRECTION is unstable under
-            # the 0.23px matched-box shift (measured 0.76 swing); outputs
-            # stay bounded by construction.  Tight axis parity is pinned by
-            # the unbiased fixture (and by the real weights, whose axis
-            # outputs are decisively non-zero).
-            assert report[k] <= 2.0, (k, report)
+            # the 0.23px matched-box shift (measured 0.76 swing) — this
+            # fixture deliberately does NOT gate axis direction (a <= 2.0
+            # bound would be vacuous: double-angle outputs live in [-1, 1]).
+            # Tight axis parity is pinned by the unbiased fixture above
+            # (and by the real weights, whose axis outputs are decisively
+            # non-zero).  Here only require the comparison ran and stayed
+            # finite.
+            assert np.isfinite(report[k]), (k, report)
     # the synthetic depth decoder emits O(1e6) values (eval-mode BNs on
     # random running stats): scale-aware bound, as in test_torch_oracle
     depth_scale = 1.0 + float(np.abs(goldens["depth"]).max())

@@ -186,6 +186,7 @@ def main():  # noqa: C901
     # tunnel congestion — it buried a 2.8x device-step win as noise).  The
     # per-step loss curve is still recorded: the metric handles are
     # collected during the loop and fetched after the clock stops.
+    first_metrics = metrics                     # step 1 (the compile step)
     pending = []
     t0 = time.time()
     for i in range(2, args.steps + 1):
@@ -200,7 +201,7 @@ def main():  # noqa: C901
     sps = timed / dt
 
     with open(mpath, "a") as mf:
-        mf.write(metrics_line(1, metrics))
+        mf.write(metrics_line(1, first_metrics))
         for i, m in pending:
             total = float(np.asarray(m["total_loss"]))
             losses.append(total)
