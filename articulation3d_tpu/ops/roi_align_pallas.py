@@ -380,7 +380,8 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                 strides: Sequence[int], output_size: int,
                                 sampling_ratio: int, aligned: bool,
                                 min_level: int = 2,
-                                valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                                valid: jnp.ndarray | None = None,
+                                interpret: bool = False) -> jnp.ndarray:
     """Batched FPN ROIAlign: features (B, H_l, W_l, C) x4, boxes (B, N, 4)
     -> (B, N, P, P, C) float32.
 
@@ -399,7 +400,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     if total > MAX_ROIS_PER_LAUNCH:
         kw = dict(strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
-                  min_level=min_level)
+                  min_level=min_level, interpret=interpret)
         outs = []
         if bsz > 1:
             img_chunk = max(1, MAX_ROIS_PER_LAUNCH // n)
@@ -472,6 +473,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((total_p, p, p, c), jnp.float32),
+        interpret=interpret,
     )(levels, batch_ids, y0, x0, nty, ntx, ry, rx, *padded)
     out = out[:total]
 
@@ -588,7 +590,8 @@ def multilevel_roi_align_adjoint_pallas(
         g: jnp.ndarray, boxes: jnp.ndarray,
         feat_shapes: Sequence[Sequence[int]], *, strides: Sequence[int],
         output_size: int, sampling_ratio: int, aligned: bool,
-        min_level: int = 2, valid: jnp.ndarray | None = None):
+        min_level: int = 2, valid: jnp.ndarray | None = None,
+        interpret: bool = False):
     """Adjoint of `multilevel_roi_align_pallas` w.r.t. the FEATURES.
 
     g: (B, N, P, P, C) f32 pooled cotangent; boxes: (B, N, 4);
@@ -601,7 +604,7 @@ def multilevel_roi_align_adjoint_pallas(
     if bsz * n > MAX_ROIS_PER_LAUNCH:
         kw = dict(strides=strides, output_size=output_size,
                   sampling_ratio=sampling_ratio, aligned=aligned,
-                  min_level=min_level)
+                  min_level=min_level, interpret=interpret)
         parts = []
         if bsz > 1:
             # images are independent: recurse over batch chunks (same SMEM
@@ -716,6 +719,7 @@ def multilevel_roi_align_adjoint_pallas(
                 out_shape=[jax.ShapeDtypeStruct(
                     (bsz, int(hp[l]), int(wp[l]), cpass), jnp.float32)
                     for l in lvl_ids],
+                interpret=interpret,
             )(levels, y0, x0, nty, ntx, g_flat, ry, rx)
             for oi, l in enumerate(lvl_ids):
                 grads_padded[l].append(outs[oi])
