@@ -741,7 +741,8 @@ def multilevel_roi_align_adjoint_pallas(
 _TrainPoolOpts = collections.namedtuple(
     "_TrainPoolOpts",
     ["strides", "output_size", "sampling_ratio", "aligned", "min_level",
-     "chunk", "use_pallas", "shapes", "dtypes", "adjoint_impl"])
+     "chunk", "use_pallas", "shapes", "dtypes", "adjoint_impl",
+     "interpret"])
 
 
 def _xla_batched(features, boxes, opts: _TrainPoolOpts) -> jnp.ndarray:
@@ -773,7 +774,7 @@ def _train_pool(features, boxes, valid, opts: _TrainPoolOpts) -> jnp.ndarray:
             list(features), boxes, strides=opts.strides,
             output_size=opts.output_size,
             sampling_ratio=opts.sampling_ratio, aligned=opts.aligned,
-            min_level=opts.min_level,
+            min_level=opts.min_level, interpret=opts.interpret,
             valid=None if valid is None else valid > 0.5)
     out = _xla_batched(features, boxes, opts)
     if valid is not None:
@@ -807,8 +808,8 @@ def _train_pool_bwd(opts, res, g):
             g, boxes, opts.shapes, strides=opts.strides,
             output_size=opts.output_size,
             sampling_ratio=opts.sampling_ratio, aligned=opts.aligned,
-            min_level=opts.min_level, valid=None if valid is None
-            else valid > 0.5)
+            min_level=opts.min_level, interpret=opts.interpret,
+            valid=None if valid is None else valid > 0.5)
     else:
         if opts.use_pallas:
             # scatter to the level the Pallas forward READ: the d2
@@ -852,7 +853,8 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
                                min_level: int = 2, chunk: int = 32,
                                use_pallas: bool = True,
                                adjoint_impl: str = "auto",
-                               valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                               valid: jnp.ndarray | None = None,
+                               interpret: bool = False) -> jnp.ndarray:
     """Batched FPN ROIAlign for TRAINING: features (B, H_l, W_l, C) x L,
     boxes (B, N, 4) -> (B, N, P, P, C) float32.
 
@@ -887,6 +889,6 @@ def multilevel_roi_align_train(features: Sequence[jnp.ndarray],
         use_pallas=bool(use_pallas),
         shapes=tuple(tuple(f.shape) for f in features),
         dtypes=tuple(str(f.dtype) for f in features),
-        adjoint_impl=str(adjoint_impl))
+        adjoint_impl=str(adjoint_impl), interpret=bool(interpret))
     valid_f = None if valid is None else valid.astype(jnp.float32)
     return _train_pool(tuple(features), boxes, valid_f, opts)

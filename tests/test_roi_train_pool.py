@@ -155,7 +155,7 @@ def test_out_of_contract_roi_gradient():
                           use_pallas=True,
                           shapes=tuple((1,) + f.shape for f in feats),
                           dtypes=tuple(str(f.dtype) for f in feats),
-                          adjoint_impl="xla")
+                          adjoint_impl="xla", interpret=False)
     lv = _train_levels(boxes, opts)
     np.testing.assert_array_equal(np.asarray(lv), np.asarray(lvl))
     g_adj = multilevel_roi_align_adjoint(
