@@ -452,10 +452,10 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
             pl.BlockSpec((group, N_TILES, p, TILE_X),
                          lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((group, p, p, c),
                                lambda k, *_: (k, 0, 0, 0),
@@ -704,7 +704,7 @@ def multilevel_roi_align_adjoint_pallas(
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY)
+                    pl.BlockSpec(memory_space=pl.ANY)
                     for _ in lvl_ids
                 ],
                 scratch_shapes=(

@@ -149,6 +149,7 @@ def test_train_pool_grad_interpret_end_to_end():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow   # ~33s of interpreter time for an edge path
 def test_kernel_recursion_paths_interpret(monkeypatch):
     """The MAX_ROIS_PER_LAUNCH recursion branches (image-chunk and
     single-image ROI-chunk, forward AND adjoint) with the cap shrunk so
