@@ -228,6 +228,14 @@ class SolverConfig:
     # (ICI on TPU, Gloo on CPU meshes); grads are averaged in the sync
     # dtype and cast back before the optimizer update
     grad_sync_dtype: str = "float32"
+    # k-step fused dispatch: one device program executes k train steps
+    # (`lax.scan` threading the donated TrainState) and returns only the
+    # final state + stacked per-step metrics.  Amortizes per-dispatch
+    # output-handle materialization k-fold on high-latency clients (the
+    # measured ~1.4 s/step dev-tunnel tax, PROFILE.md); 1 = the reference's
+    # per-iteration host loop (`tools/train_net.py:84-104` in d2's engine).
+    # Log/checkpoint/eval cadences snap to multiples of k.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)
@@ -249,6 +257,13 @@ class TestConfig:
     # `detector_postprocess` is invoked with box_score_threshold=0.1
     # (`modeling/meta_arch/planercnn.py:217`) — preserved as-is.
     box_score_threshold: float = 0.1
+    # training-iteration visualization cadence: every `vis_period` steps the
+    # trainer renders GT + current predictions for one minibatch image into
+    # `output_dir/vis/iter_XXXXXXX.png` (reference `VIS_PERIOD` +
+    # `MODEL.VIS_MINIBATCH`/`TEST.SAVE_VIS`: `config/config.yaml:367`,
+    # `modeling/meta_arch/planercnn.py:41`, `roi_heads/roi_heads.py:30-33`).
+    # 0 disables (the reference recipes ship with it off).
+    vis_period: int = 0
 
 
 @dataclass(frozen=True)

@@ -113,10 +113,18 @@ class PlaneRCNNMapper:
 
     def _instances(self, annos: List[Dict], h: int, w: int) -> Dict[str, np.ndarray]:
         g = self.max_instances
+        mcfg = self.cfg.model
+        # gate the heavy per-toggle targets: a stage-1 (detector-only)
+        # recipe must not rasterize + ship (g, 480, 640) float mask stacks
+        # the step never reads — at ims 16 that is ~786MB/step of zeros
+        # through the host->device path (d2's Instances only carry the
+        # fields the mapper put there; fixed-shape padding must not undo
+        # that frugality)
+        with_masks = mcfg.mask_on or mcfg.refine_on
         boxes = np.zeros((g, 4), np.float32)
         classes = np.zeros((g,), np.int32)
         valid = np.zeros((g,), bool)
-        masks = np.zeros((g, h, w), np.float32)
+        masks = (np.zeros((g, h, w), np.float32) if with_masks else None)
         planes = np.zeros((g, 3), np.float32)
         rot_axis = np.tile(np.asarray([0, 0, 1, 0], np.float32), (g, 1))
         tran_axis = np.tile(np.asarray([0, 0, 1, 0], np.float32), (g, 1))
@@ -133,7 +141,7 @@ class PlaneRCNNMapper:
             boxes[i] = box
             classes[i] = int(a["category_id"])
             valid[i] = True
-            if "segmentation" in a:
+            if with_masks and "segmentation" in a:
                 seg = a["segmentation"]
                 if isinstance(seg, list):
                     masks[i] = polygons_to_bitmask(seg, h, w)
@@ -153,11 +161,15 @@ class PlaneRCNNMapper:
                     np.asarray(a["tran_axis"], np.float32)[None], center[None])[0]
             kept += 1
 
-        return {
-            "gt_boxes": boxes, "gt_classes": classes, "gt_valid": valid,
-            "gt_masks": masks, "gt_planes": planes,
-            "gt_rot_axis": rot_axis, "gt_tran_axis": tran_axis,
-        }
+        out = {"gt_boxes": boxes, "gt_classes": classes, "gt_valid": valid}
+        if with_masks:
+            out["gt_masks"] = masks
+        if mcfg.plane_on:
+            out["gt_planes"] = planes
+        if mcfg.axis_on:
+            out["gt_rot_axis"] = rot_axis
+            out["gt_tran_axis"] = tran_axis
+        return out
 
 
 def collate(samples: List[Dict[str, np.ndarray]],

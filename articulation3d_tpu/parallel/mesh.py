@@ -31,9 +31,10 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis over the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: str = "data",
+                   axis: int = 0) -> NamedSharding:
+    """Shard axis `axis` (default the leading batch axis) over the mesh."""
+    return NamedSharding(mesh, P(*([None] * axis), axis_name))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -41,9 +42,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any],
-                axis_name: str = "data") -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along the leading axis."""
-    sh = batch_sharding(mesh, axis_name)
+                axis_name: str = "data", axis: int = 0) -> Dict[str, Any]:
+    """Place a host batch onto the mesh, sharded along axis `axis`.
+
+    axis=0 for a single step's batch; axis=1 for the (k, B, ...) stacked
+    batches consumed by the k-step fused dispatch (`make_multi_step`),
+    where the scan axis stays unsharded and the per-step batch axis shards.
+    """
+    sh = batch_sharding(mesh, axis_name, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -120,6 +120,66 @@ def make_train_step(config: Config, model: PlaneRCNN,
     return train_step
 
 
+def make_multi_step(step_fn, k: int):
+    """Fuse `k` consecutive train steps into ONE dispatched program.
+
+    `step_fn` is a `(state, batch, key) -> (state, metrics)` train step —
+    either `make_train_step`'s single-device function or the shard_mapped
+    function from `make_sharded_train_step`.  The result consumes a pytree
+    of k stacked batches (leading axis k on every leaf) and runs
+    `lax.scan` threading the TrainState, returning the final state and the
+    per-step metrics stacked along a leading k axis.
+
+    Numerics are IDENTICAL to k separate `step_fn` calls with the same
+    `key` (pinned by `tests/test_trainer.py::test_multi_step_identity`):
+    each step derives its randomness by folding `state.step` into the key,
+    and scan threads the incremented step counter exactly like the host
+    loop does.
+
+    Why this exists: each dispatch's outputs materialize as remote buffer
+    handles on high-latency PJRT clients — a TrainState holds ~600 leaves,
+    measured at ~1.4 s/step of pure dispatch tax over the dev tunnel
+    (PROFILE.md "quiet-window training walls") while the device step is
+    ~0.3-0.5 s.  One dispatch per k steps divides that tax by k.  The
+    reference's d2 engine loop is strictly per-iteration
+    (`/root/reference/articulation3d/tools/train_net.py:84-104`).
+    """
+    if k < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {k}")
+
+    def multi_step(state: TrainState, batches, key: jax.Array):
+        def body(s, b):
+            return step_fn(s, b, key)
+        return jax.lax.scan(body, state, batches, length=k)
+
+    return multi_step
+
+
+def make_repeat_step(step_fn, k: int):
+    """Like `make_multi_step` but runs k steps on ONE batch (xs=None scan).
+
+    For overfit-one-batch drives (`tools/train_on_chip.py`) where stacking
+    k copies of a 480x640 batch would waste HBM; per-step randomness still
+    differs (each step folds its own `state.step` into the key)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def repeat_step(state: TrainState, batch, key: jax.Array):
+        def body(s, _):
+            return step_fn(s, batch, key)
+        return jax.lax.scan(body, state, None, length=k)
+
+    return repeat_step
+
+
+def stack_batches(batches):
+    """Host-side helper: stack k mapper batches into the (k, ...) pytree
+    `make_multi_step` consumes."""
+    import numpy as np
+    keys = batches[0].keys()
+    return {kk: np.stack([b[kk] for b in batches]) for kk in keys}
+
+
 def make_sharded_train_step(config: Config, model: PlaneRCNN,
                             tx: optax.GradientTransformation,
                             mesh, axis_name: str = "data"):

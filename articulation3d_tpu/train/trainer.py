@@ -26,8 +26,9 @@ from .checkpoint import (latest_checkpoint, load_checkpoint, load_weights,
                          load_torch_state_dict, port_detectron2_state_dict,
                          save_checkpoint)
 from .optimizer import build_optimizer
-from .train_step import (TrainState, create_train_state, make_train_step,
-                         make_sharded_train_step)
+from .train_step import (TrainState, create_train_state, make_multi_step,
+                         make_train_step, make_sharded_train_step,
+                         stack_batches)
 
 logger = logging.getLogger(__name__)
 
@@ -64,13 +65,22 @@ class Trainer:
         self.tx = build_optimizer(cfg, self.state.params)
         if self.mesh is not None:
             # one fused gradient psum per step (DDP-equivalent semantics)
-            self._step_fn = jax.jit(
-                make_sharded_train_step(cfg, self.model, self.tx, self.mesh),
-                donate_argnums=(0,))
+            raw_step = make_sharded_train_step(cfg, self.model, self.tx,
+                                               self.mesh)
             self.state = replicate(self.mesh, self.state)
         else:
-            self._step_fn = jax.jit(make_train_step(cfg, self.model, self.tx),
-                                    donate_argnums=(0,))
+            raw_step = make_train_step(cfg, self.model, self.tx)
+        self._step_fn = jax.jit(raw_step, donate_argnums=(0,))
+        # k-step fused dispatch (solver.steps_per_dispatch): one program
+        # executes k steps via lax.scan and returns stacked metrics —
+        # amortizes the per-dispatch output-handle cost on high-latency
+        # clients (PROFILE.md, ~1.4 s/step over the dev tunnel).  The
+        # single-step fn above remains for the tail chunk when the
+        # remaining iteration count is not a multiple of k.
+        self.k = max(1, cfg.solver.steps_per_dispatch)
+        self._multi_fn = (jax.jit(make_multi_step(raw_step, self.k),
+                                  donate_argnums=(0,))
+                          if self.k > 1 else None)
 
         records: List[dict] = []
         for name in cfg.datasets_train:
@@ -132,42 +142,94 @@ class Trainer:
         profile_dir = profile_dir or os.environ.get("ARTI3D_PROFILE_DIR")
         metrics_path = os.path.join(cfg.output_dir, "metrics.json")
         os.makedirs(cfg.output_dir, exist_ok=True)
-        for step in range(start, max_iter):
-            if profile_dir and step == start + 10:
-                jax.profiler.start_trace(profile_dir)
-            batch = next(it)
-            batch = {k: v for k, v in batch.items()
-                     if isinstance(v, np.ndarray)}
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
-            self.state, metrics = self._step_fn(self.state, batch,
-                                                self._base_key)
-            if profile_dir and step == start + 15:
-                jax.block_until_ready(self.state.params)
-                jax.profiler.stop_trace()
-                logger.info("profiler trace written to %s", profile_dir)
-                profile_dir = None
-            if (step + 1) % 20 == 0 or step == start:
-                losses = {k: float(v) for k, v in metrics.items()}
-                dt = time.time() - t0
-                logger.info("iter %d: total=%.4f (%.2f s/it) %s", step + 1,
-                            losses.pop("total_loss"), dt / max(step + 1 - start, 1),
-                            {k: round(v, 4) for k, v in losses.items()})
-                # d2-style metrics.json: one JSON line per log event
-                with open(metrics_path, "a") as f:
-                    f.write(_json.dumps({
-                        "iteration": step + 1,
-                        "s_per_it": round(dt / max(step + 1 - start, 1), 4),
-                        **{k: round(float(v), 6) for k, v in metrics.items()},
-                    }) + "\n")
-            if (step + 1) % cfg.solver.checkpoint_period == 0:
-                save_checkpoint(cfg.output_dir, self.state, step + 1)
-            if cfg.test.eval_period > 0 and (step + 1) % cfg.test.eval_period == 0:
+
+        def log_step(step: int, metrics_host: Dict[str, float]) -> None:
+            losses = dict(metrics_host)
+            dt = time.time() - t0
+            s_per_it = dt / max(step + 1 - start, 1)
+            logger.info("iter %d: total=%.4f (%.2f s/it) %s", step + 1,
+                        losses.pop("total_loss"), s_per_it,
+                        {k: round(v, 4) for k, v in losses.items()})
+            # d2-style metrics.json: one JSON line per log event
+            with open(metrics_path, "a") as f:
+                f.write(_json.dumps({
+                    "iteration": step + 1,
+                    "s_per_it": round(s_per_it, 4),
+                    **{k: round(float(v), 6) for k, v in metrics_host.items()},
+                }) + "\n")
+
+        def crossed(period: int, lo: int, hi: int) -> bool:
+            """Did any step count in (lo, hi] hit a multiple of `period`?
+            With k-step dispatch the action fires at the chunk boundary
+            (count hi), so the checkpoint's label always matches the state
+            it contains."""
+            return period > 0 and (hi // period) > (lo // period)
+
+        def periodic(lo: int, hi: int) -> None:
+            if crossed(cfg.solver.checkpoint_period, lo, hi):
+                save_checkpoint(cfg.output_dir, self.state, hi)
+            if crossed(cfg.test.vis_period, lo, hi):
+                self._maybe_vis(hi)
+            if crossed(cfg.test.eval_period, lo, hi):
                 try:
                     self.test()
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
+
+        step = start
+        while step < max_iter:
+            k = self.k if (self._multi_fn is not None
+                           and step + self.k <= max_iter) else 1
+            if profile_dir and step >= start + 10:
+                jax.profiler.start_trace(profile_dir)
+            raw = [next(it) for _ in range(k)]
+            raw = [{kk: v for kk, v in b.items() if isinstance(v, np.ndarray)}
+                   for b in raw]
+            if k > 1:
+                batch = stack_batches(raw)
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch, axis=1)
+                self.state, metrics = self._multi_fn(self.state, batch,
+                                                     self._base_key)
+                # stacked (k,) metric leaves: one host fetch for the chunk
+                mhost = jax.device_get(metrics)
+                per_step = [{kk: float(v[i]) for kk, v in mhost.items()}
+                            for i in range(k)]
+            else:
+                batch = raw[0]
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                self.state, metrics = self._step_fn(self.state, batch,
+                                                    self._base_key)
+                per_step = [{kk: float(v) for kk, v in
+                             jax.device_get(metrics).items()}]
+            if profile_dir and step >= start + 10:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
+                profile_dir = None
+            for i in range(k):
+                s = step + i
+                if (s + 1) % 20 == 0 or s == start:
+                    log_step(s, per_step[i])
+            # checkpoint/eval/vis fire at dispatch boundaries: with k > 1
+            # the cadence snaps to multiples of k (see SolverConfig)
+            periodic(step, step + k)
+            step += k
         return self.state
+
+    def _maybe_vis(self, iteration: int) -> None:
+        """Training-iteration visualization hook (reference VIS_PERIOD /
+        MODEL.VIS_MINIBATCH, wired in the host trainer instead of inside
+        the jitted model: `modeling/meta_arch/planercnn.py:41`,
+        `modeling/roi_heads/roi_heads.py:30-33`, `config/config.yaml:367`).
+        Cadence is gated by the caller (`periodic`)."""
+        try:
+            from .vis_hook import save_train_vis
+            out = save_train_vis(self, iteration)
+            logger.info("training vis written to %s", out)
+        except Exception as e:  # vis must not kill training
+            logger.warning("training vis failed: %s", e)
 
     # -- evaluation ---------------------------------------------------------
     def test(self) -> Dict[str, Dict[str, float]]:

@@ -102,6 +102,116 @@ def test_trainer_steps_and_checkpoint(tiny_dataset, tmp_path):
     assert int(np.asarray(trainer2.state.step)) == 3
 
 
+def test_multi_step_identity():
+    """k-step fused dispatch (lax.scan) computes the SAME loss curve and
+    final params as k separate step_fn calls with the same key (VERDICT r4
+    next #1: the fix must not change numerics)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from articulation3d_tpu.config import step1_bbox_config
+    from articulation3d_tpu.train.optimizer import build_optimizer
+    from articulation3d_tpu.train.train_step import (
+        create_train_state, make_multi_step, make_train_step, stack_batches)
+
+    cfg = step1_bbox_config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model,
+            rpn=RPNConfig(pre_nms_topk_train=16, post_nms_topk_train=16,
+                          pre_nms_topk_test=16, post_nms_topk_test=16),
+            roi_heads=ROIHeadsConfig(batch_size_per_image=8,
+                                     detections_per_image=4),
+            dtype="float32"),
+        input=InputConfig(height=64, width=96),
+        solver=SolverConfig(ims_per_batch=2, warmup_iters=2, base_lr=1e-3))
+    rng = jax.random.PRNGKey(0)
+    model, state_a = create_train_state(cfg, rng)
+    tx = build_optimizer(cfg, state_a.params)
+    step = make_train_step(cfg, model, tx)
+
+    rs = np.random.RandomState(1)
+    batches = []
+    for _ in range(4):
+        boxes = np.array([[[10, 8, 40, 30], [30, 20, 80, 55]]] * 2, np.float32)
+        batches.append({
+            "images": rs.randn(2, 64, 96, 3).astype(np.float32),
+            "gt_boxes": boxes,
+            "gt_classes": rs.randint(0, 2, (2, 2)).astype(np.int32),
+            "gt_valid": np.ones((2, 2), bool),
+        })
+    key = jax.random.PRNGKey(7)
+
+    step_j = jax.jit(step)
+    losses_a = []
+    for b in batches:
+        state_a, m = step_j(state_a, b, key)
+        losses_a.append(float(m["total_loss"]))
+
+    _, state_b = create_train_state(cfg, rng)
+    multi = jax.jit(make_multi_step(step, 4))
+    state_b, metrics = multi(state_b, stack_batches(batches), key)
+    losses_b = [float(v) for v in np.asarray(metrics["total_loss"])]
+
+    assert int(np.asarray(state_b.step)) == 4
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5, atol=1e-6)
+    da = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state_a.params, state_b.params)
+    assert max(jax.tree_util.tree_leaves(da)) < 1e-5
+
+
+def test_trainer_multi_step_dispatch(tiny_dataset, tmp_path):
+    """Trainer with steps_per_dispatch=2 matches the per-step loop's final
+    params (same loader seed => same batch order) and still checkpoints."""
+    import dataclasses
+
+    from articulation3d_tpu.train.checkpoint import latest_checkpoint
+    from articulation3d_tpu.train.trainer import Trainer
+
+    cfg1 = tiny_train_config(tmp_path / "k1")
+    t1 = Trainer(cfg1, use_mesh=False, max_instances=4)
+    s1 = t1.train(max_iter=4)
+
+    cfgk = tiny_train_config(tmp_path / "k2")
+    cfgk = cfgk.replace(solver=dataclasses.replace(
+        cfgk.solver, steps_per_dispatch=2))
+    tk = Trainer(cfgk, use_mesh=False, max_instances=4)
+    assert tk._multi_fn is not None
+    sk = tk.train(max_iter=4)
+
+    assert int(np.asarray(sk.step)) == 4
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.params, sk.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+    # checkpoint period 3 crosses inside the second chunk; with k-step
+    # dispatch it fires at the CHUNK BOUNDARY (step 4) so the label always
+    # matches the state it contains
+    ckpt = latest_checkpoint(cfgk.output_dir)
+    assert ckpt is not None and ckpt.endswith("step_00000004")
+    # metrics.json carries per-step lines from the stacked metrics
+    assert os.path.exists(os.path.join(cfgk.output_dir, "metrics.json"))
+
+
+def test_train_vis_hook(tiny_dataset, tmp_path):
+    """vis_period writes GT|pred panels during training (reference
+    VIS_PERIOD/MODEL.VIS_MINIBATCH, config/config.yaml:367)."""
+    import dataclasses
+
+    from articulation3d_tpu.train.trainer import Trainer
+
+    cfg = tiny_train_config(tmp_path)
+    cfg = cfg.replace(test=dataclasses.replace(cfg.test, vis_period=2))
+    trainer = Trainer(cfg, use_mesh=False, max_instances=4)
+    trainer.train(max_iter=2)
+    out = os.path.join(cfg.output_dir, "vis", "iter_0000002.png")
+    assert os.path.exists(out)
+    img = cv2.imread(out)
+    assert img is not None and img.shape == (H, 2 * W, 3)
+
+
 def test_trainer_eval_runs(tiny_dataset, tmp_path):
     from articulation3d_tpu.train.trainer import Trainer
 

@@ -114,12 +114,17 @@ def main():  # noqa: C901
                     help="rematerialize backbone blocks (fits ims 16)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--ksteps", type=int, default=1,
+                    help="steps fused per dispatch (lax.scan over the "
+                         "donated state); amortizes the ~1.4 s/step "
+                         "per-output-handle tunnel tax k-fold (PROFILE.md)")
     ap.add_argument("--out", default="exps/train_on_chip")
     args = ap.parse_args()
 
     from articulation3d_tpu.models import init_params, PlaneRCNN
     from articulation3d_tpu.train.optimizer import build_optimizer
     from articulation3d_tpu.train.train_step import (TrainState,
+                                                     make_repeat_step,
                                                      make_train_step)
 
     cfg = _config(args.stage, args.ims, args.height, args.width,
@@ -149,7 +154,13 @@ def main():  # noqa: C901
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=opt_state)
     model = PlaneRCNN(cfg)
-    step_fn = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+    raw_step = make_train_step(cfg, model, tx)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    # k-step fused dispatch on the ONE fixed batch: xs=None scan, so the
+    # 480x640 batch is not stacked k times in HBM
+    repeat_fn = (jax.jit(make_repeat_step(raw_step, args.ksteps),
+                         donate_argnums=(0,))
+                 if args.ksteps > 1 else None)
 
     batch = jax.device_put(_batch(cfg, args.ims), dev)
     key = jax.device_put(jax.random.PRNGKey(42), dev)
@@ -187,29 +198,58 @@ def main():  # noqa: C901
     # per-step loss curve is still recorded: the metric handles are
     # collected during the loop and fetched after the clock stops.
     first_metrics = metrics                     # step 1 (the compile step)
-    pending = []
+    pending = []        # (step_index, metrics, stacked_k or 0)
+    if repeat_fn is not None:
+        # warm the k-step program OUTSIDE the clock (its first call compiles)
+        state, warm_metrics = repeat_fn(state, batch, key)
+        assert int(np.asarray(state.step)) == 1 + args.ksteps
+        warm = 1 + args.ksteps
+        pending.append((warm, warm_metrics, args.ksteps))
+    else:
+        warm = 1
+    i = warm
     t0 = time.time()
-    for i in range(2, args.steps + 1):
-        state, metrics = step_fn(state, batch, key)
-        pending.append((i, metrics))
+    while i < args.steps:
+        if repeat_fn is not None and i + args.ksteps <= args.steps:
+            state, metrics = repeat_fn(state, batch, key)
+            pending.append((i + args.ksteps, metrics, args.ksteps))
+            i += args.ksteps
+        else:
+            state, metrics = step_fn(state, batch, key)
+            pending.append((i + 1, metrics, 0))
+            i += 1
     # value fetch, not block_until_ready: the axon platform's
     # block_until_ready returns before device work completes (PROFILE.md);
     # reading the final step counter forces the whole donated-state chain
     assert int(np.asarray(state.step)) == args.steps
     dt = time.time() - t0
-    timed = len(pending)
-    sps = timed / dt
+    timed = args.steps - warm
+    sps = timed / dt if timed else float("nan")
 
     with open(mpath, "a") as mf:
         mf.write(metrics_line(1, first_metrics))
-        for i, m in pending:
+        for last, m, kk in pending:
+            if kk:  # stacked (k,) metric leaves from the fused dispatch
+                host = {k2: np.asarray(v) for k2, v in m.items()}
+                for j in range(kk):
+                    step_i = last - kk + 1 + j
+                    total = float(host["total_loss"][j])
+                    losses.append(total)
+                    mf.write(json.dumps({
+                        "iteration": step_i, "stage": args.stage,
+                        **{k2: float(v[j]) for k2, v in host.items()},
+                    }) + "\n")
+                    if step_i % 5 == 0 or step_i == args.steps:
+                        print(f"# step {step_i}: total_loss {total:.4f}",
+                              flush=True)
+                continue
             total = float(np.asarray(m["total_loss"]))
             losses.append(total)
-            if i % 5 == 0 or i == args.steps:
-                mf.write(metrics_line(i, m))
-                print(f"# step {i}: total_loss {total:.4f}", flush=True)
+            if last % 5 == 0 or last == args.steps:
+                mf.write(metrics_line(last, m))
+                print(f"# step {last}: total_loss {total:.4f}", flush=True)
             else:
-                mf.write(json.dumps({"iteration": i, "stage": args.stage,
+                mf.write(json.dumps({"iteration": last, "stage": args.stage,
                                      "total_loss": total}) + "\n")
     print(f"# {_mem(dev)}", flush=True)
 
@@ -218,6 +258,7 @@ def main():  # noqa: C901
     ok = last5 < first5 and np.isfinite(losses).all()
     print(json.dumps({
         "metric": f"train_steps_per_s_stage{args.stage}_ims{args.ims}"
+                  + (f"_k{args.ksteps}" if args.ksteps > 1 else "")
                   + ("_remat" if args.remat else ""),
         "value": round(sps, 4), "unit": "steps/s",
         "images_per_s": round(sps * args.ims, 2),
