@@ -42,7 +42,7 @@ from ..data.axis_codec import angle_offset_to_axis, axis_to_angle_offset
 from ..utils.camera import get_pcd
 from ..utils.coords import camera_to_plane, plane_to_camera
 from ..utils.metrics import EA_metric, Line
-from .kernels import (iou_matrix, rotation_sweep, transform_normals,
+from .kernels import (iou_matrix_bucketed, rotation_sweep, transform_normals,
                       translation_sweep)
 
 SCORE_DOWNWEIGHT = 0.6
@@ -127,8 +127,9 @@ def _cluster_pass(preds: Sequence, plane: Dict, kind: str, hyp: np.ndarray,
             proj = _sweep(seed, kind, hyp, h, w)
             frame_masks = np.stack(
                 [np.asarray(preds[i].masks[plane["ids"][i]]) for i in id_list])
-            ious = np.asarray(iou_matrix(jnp.asarray(frame_masks, jnp.float32),
-                                         proj))
+            # bucketed frame axis: F shrinks every round; padding to a
+            # power-of-two bucket avoids one XLA compile per distinct F
+            ious = iou_matrix_bucketed(frame_masks, proj)
             # CPython for-loop + remove() skips the element after each removal
             pos = {idx: k for k, idx in enumerate(id_list)}
             i = 0
@@ -179,8 +180,7 @@ def _regularize(preds, plane, kind: str, hyp_final: np.ndarray,
     frame_ids = list(plane["ids"].keys())
     frame_masks = np.stack(
         [np.asarray(preds[i].masks[plane["ids"][i]]) for i in frame_ids])
-    ious = np.asarray(iou_matrix(jnp.asarray(frame_masks, jnp.float32),
-                                 jnp.asarray(proj)))
+    ious = iou_matrix_bucketed(frame_masks, jnp.asarray(proj))
     for k, idx in enumerate(frame_ids):
         aid = int(np.argmax(ious[k]))
         plane["reg_masks"][idx] = proj[aid]

