@@ -23,13 +23,43 @@ from flax import linen as nn
 from ..config import DepthHeadConfig
 
 
+def _upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (align_corners=False) as a fused stencil.
+
+    For scale 2 the triangle kernel degenerates to fixed weights: output
+    row 2j = 0.25*x[j-1] + 0.75*x[j], row 2j+1 = 0.75*x[j] + 0.25*x[j+1]
+    (edges clamped) — identical numerics to `jax.image.resize(...,
+    "linear", antialias=False)` (pinned by tests/test_model.py) but pure
+    elementwise adds instead of generic gather resampling, which XLA fuses
+    into the surrounding ops.  Matters most for the final C=1 f32
+    240x320 -> 480x640 depth resize, where gather lowering wastes the
+    (8,128) vector lanes."""
+    def up_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+        n = a.shape[axis]
+        first = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+        prev = jnp.concatenate([first, jax.lax.slice_in_dim(a, 0, n - 1,
+                                                            axis=axis)], axis)
+        nxt = jnp.concatenate([jax.lax.slice_in_dim(a, 1, n, axis=axis),
+                               last], axis)
+        even = 0.25 * prev + 0.75 * a
+        odd = 0.75 * a + 0.25 * nxt
+        inter = jnp.stack([even, odd], axis=axis + 1)
+        return inter.reshape(a.shape[:axis] + (2 * n,) + a.shape[axis + 1:])
+
+    return up_axis(up_axis(x, 1), 2)
+
+
 def _resize_bilinear_nhwc(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """F.interpolate(mode='bilinear', align_corners=False) equivalent.
 
     antialias=False is load-bearing: the reference's p6->p5 merge is a
     DOWNSAMPLE (16->15 rows at 480x640, `depth_head.py:84`) and torch's
     interpolate never antialiases, while jax.image.resize defaults to a
-    widened triangle kernel on downsamples."""
+    widened triangle kernel on downsamples.  Exact 2x upsamples take the
+    fused stencil path."""
+    if h == 2 * x.shape[1] and w == 2 * x.shape[2]:
+        return _upsample2x_bilinear(x)
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="linear",
                             antialias=False)
 

@@ -198,3 +198,19 @@ def test_space_to_depth_stem_exact():
     for k in out_d:
         np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_d[k]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_upsample2x_stencil_matches_resize():
+    """The depth decoder's fused 2x bilinear stencil is bit-level equivalent
+    to jax.image.resize(..., 'linear', antialias=False) — the torch
+    F.interpolate semantics the golden tests pin (depth_head.py)."""
+    from articulation3d_tpu.models.depth_head import _upsample2x_bilinear
+
+    rs = np.random.RandomState(0)
+    for shape in [(2, 5, 7, 3), (1, 15, 20, 1), (2, 30, 40, 2)]:
+        x = jnp.asarray(rs.randn(*shape), jnp.float32)
+        ref = jax.image.resize(x, (shape[0], 2 * shape[1], 2 * shape[2],
+                                   shape[3]), "linear", antialias=False)
+        got = _upsample2x_bilinear(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
