@@ -121,8 +121,8 @@ def test_goldens_self_consistency(tmp_path):
         assert report[k] < 1e-5, (k, report[k])
 
 
-@pytest.mark.parametrize("fixture_name,min_dets,box_tol,head_tol", [
-    ("golden_oracle_64x96.npz", 1, 0.05, 0.05),
+@pytest.mark.parametrize("fixture_name,min_dets,box_tol,head_tol,match_min", [
+    ("golden_oracle_64x96.npz", 1, 0.05, 0.05, 1.0),
     # second fixture (VERDICT r3 #7): 128x160, BIASED logits -> golden
     # matching exercised on a non-empty (10+ detections) survivor set.
     # Wider tolerances: the +6 foreground bias puts the box head's
@@ -134,11 +134,23 @@ def test_goldens_self_consistency(tmp_path):
     # parity is pinned by the unbiased fixture; this one pins the
     # non-empty-population path (matcher, NMS survivors, per-class
     # selection at 16 detections).
-    ("golden_oracle_biased_128x160.npz", 10, 0.5, 0.5),
+    ("golden_oracle_biased_128x160.npz", 10, 0.5, 0.5, 1.0),
+    # third fixture (VERDICT r4 next #7): PRODUCTION capacity — 480x640,
+    # 1000 pre/post-NMS proposals, 100 detections (the caps saturate under
+    # the biased load), so golden matching exercises the full-size
+    # RPN-topk/NMS/per-class-selection/depth paths CI previously only saw
+    # at toy shapes.  Feature maps are omitted from the fixture to keep it
+    # committable (~2MB); feature parity stays pinned by the two small
+    # fixtures (compare_goldens skips absent keys).
+    # match_min 0.9, not 1.0: BOTH capacity caps saturate (100/100), so
+    # f32-drift reorderings at the cap boundary swap borderline survivors
+    # (the bench's on-chip serving-parity check sees the same adversarial
+    # regime: 1905/1920 matched, PROFILE.md)
+    ("golden_oracle_biased_480x640.npz", 50, 2.0, 0.75, 0.9),
 ])
 def test_committed_oracle_fixture_via_compare_goldens(tmp_path, fixture_name,
                                                       min_dets, box_tol,
-                                                      head_tol):
+                                                      head_tol, match_min):
     """The producer->consumer harness end to end (VERDICT r2 next #3): a
     COMMITTED oracle-generated fixture (tools/make_goldens_oracle.py) is
     consumed by the real `tools/compare_goldens.py` runner with weights
@@ -170,10 +182,11 @@ def test_committed_oracle_fixture_via_compare_goldens(tmp_path, fixture_name,
     assert report["det_ref_count"] >= min_dets, report
 
     for k in ("p2", "p3", "p4", "p5", "p6"):
-        assert report[f"feat_{k}_max_err"] < 0.02, (k, report)
+        if f"feat_{k}_max_err" in report:   # 480x640 fixture omits features
+            assert report[f"feat_{k}_max_err"] < 0.02, (k, report)
     assert report["proposal_top100_match_frac"] >= 0.9, report
     assert report["det_ref_count"] >= 1, report
-    assert report["det_match_frac"] == 1.0, report
+    assert report["det_match_frac"] >= match_min, report
     assert report["det_box_max_err"] < box_tol, report
     for k in ("masks_max_err", "planes_max_err"):
         assert report[k] < head_tol, (k, report)

@@ -44,7 +44,8 @@ SCORE_THRESH = 0.05
 
 def build_oracle_goldens(seed: int = 0, image_seed: int = 7,
                          h: int = H, w: int = W, topk: int = TOPK,
-                         dets: int = DETS, bias: bool = False) -> dict:
+                         dets: int = DETS, bias: bool = False,
+                         features: bool = True) -> dict:
     """{goldens-schema key: array} from one oracle forward (see module doc).
 
     `bias=True` lifts the RPN-objectness / foreground-class biases
@@ -74,8 +75,9 @@ def build_oracle_goldens(seed: int = 0, image_seed: int = 7,
         t_out = oracle(preprocess(image))
 
     goldens = {"image": image}
-    for k, v in t_out["features"].items():
-        goldens[k] = v[0].astype(np.float32)                 # (C, Hl, Wl)
+    if features:
+        for k, v in t_out["features"].items():
+            goldens[k] = v[0].astype(np.float32)             # (C, Hl, Wl)
     goldens["proposal_boxes"] = t_out["proposal_boxes"].astype(np.float32)
     goldens["proposal_logits"] = t_out["proposal_scores"].astype(np.float32)
     goldens["det_boxes"] = t_out["boxes"].astype(np.float32)
@@ -107,13 +109,20 @@ def main():
     ap.add_argument("--bias", action="store_true",
                     help="bias objectness/class logits for a non-empty "
                          "survivor population (second fixture)")
+    ap.add_argument("--no-features", action="store_true",
+                    help="omit the p2..p6 feature maps (compare_goldens "
+                         "skips absent keys): keeps the 480x640 "
+                         "production-capacity fixture committable (~2MB "
+                         "instead of ~27MB); feature parity stays pinned "
+                         "by the two small fixtures")
     args = ap.parse_args()
 
     from articulation3d_tpu.evaluation.goldens import save_goldens
 
     goldens = build_oracle_goldens(args.seed, h=args.height, w=args.width,
                                    topk=args.topk, dets=args.dets,
-                                   bias=args.bias)
+                                   bias=args.bias,
+                                   features=not args.no_features)
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
     save_goldens(args.output, goldens)
     n_det = int((goldens["det_scores"] > SCORE_THRESH).sum())
