@@ -43,6 +43,7 @@ def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> str:
 def load_checkpoint(path: str, state):
     """Restore into the structure of `state` (a TrainState template)."""
     import orbax.checkpoint as ocp
+    path = os.path.abspath(path)  # orbax/tensorstore rejects relative paths
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree_util.tree_map(np.asarray, state._asdict())
     restored = ckptr.restore(path, template)
@@ -65,6 +66,7 @@ def load_weights(path: str, state) -> Tuple[Any, Any, Dict[str, Any]]:
     Returns (params, batch_stats, stats) with numpy leaves.
     """
     import orbax.checkpoint as ocp
+    path = os.path.abspath(path)  # orbax/tensorstore rejects relative paths
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path)  # template-free: raw saved tree of dicts
     stats: Dict[str, Any] = {"loaded": 0, "missing": [], "unexpected": [],

@@ -172,7 +172,14 @@ class Trainer:
                 self._maybe_vis(hi)
             if crossed(cfg.test.eval_period, lo, hi):
                 try:
-                    self.test()
+                    results = self.test()
+                    # d2-style: eval metric dicts land in metrics.json too
+                    with open(metrics_path, "a") as f:
+                        for name, res in results.items():
+                            f.write(_json.dumps({
+                                "iteration": hi, "eval_dataset": name,
+                                **{k: float(v) for k, v in res.items()},
+                            }) + "\n")
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
 

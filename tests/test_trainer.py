@@ -224,3 +224,20 @@ def test_trainer_eval_runs(tiny_dataset, tmp_path):
     assert "auroc" in res or "accuracy" in res
     assert "bbox - arti_rot" in res
     assert np.isfinite(res["bbox - arti_rot"])
+
+def test_trainer_eval_lands_in_metrics_json(tiny_dataset, tmp_path):
+    """Periodic eval results are persisted to metrics.json (d2 writes its
+    eval metric dicts there too), tagged with the firing iteration."""
+    import dataclasses
+
+    from articulation3d_tpu.train.trainer import Trainer
+
+    cfg = tiny_train_config(tmp_path)
+    cfg = cfg.replace(test=dataclasses.replace(cfg.test, eval_period=2))
+    trainer = Trainer(cfg, use_mesh=False, max_instances=4)
+    trainer.train(max_iter=2)
+    rows = [json.loads(l) for l in
+            open(os.path.join(cfg.output_dir, "metrics.json"))]
+    evals = [r for r in rows if r.get("eval_dataset") == "tiny_arti"]
+    assert len(evals) == 1 and evals[0]["iteration"] == 2
+    assert "bbox - arti_rot" in evals[0]

@@ -8,6 +8,7 @@ NHWC flatten order, BN folding) that the real `model_final.pth` port relies
 on.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -227,3 +228,26 @@ def test_load_weights_cross_stage_warm_start(tmp_path):
     assert stats["missing"] == ["params.axis_head.w"]
     assert stats["unexpected"] == ["params.dropped.w"]
     assert stats["shape_mismatch"] == ["params.box_head.w"]
+
+def test_load_checkpoint_relative_path(tmp_path, monkeypatch):
+    """Resume must accept a RELATIVE checkpoint path (the soak run's
+    `--resume` crashed: orbax/tensorstore rejects relative paths at restore
+    time while save_checkpoint absolutizes, so a relative `output_dir`
+    saved fine and then failed to resume)."""
+    import collections
+
+    from articulation3d_tpu.train.checkpoint import (latest_checkpoint,
+                                                     load_checkpoint,
+                                                     save_checkpoint)
+
+    TS = collections.namedtuple("TS", "step params batch_stats opt_state")
+    st = TS(step=np.int32(3),
+            params={"w": np.full((2, 2), 4.0, np.float32)},
+            batch_stats={}, opt_state={})
+    monkeypatch.chdir(tmp_path)
+    save_checkpoint("out", st, 3)
+    rel = latest_checkpoint("out")
+    assert not os.path.isabs(rel) or rel.startswith(str(tmp_path))
+    restored = load_checkpoint(os.path.relpath(rel), st)
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(restored.params["w"], 4.0)
