@@ -59,16 +59,19 @@ def polygons_to_bitmask(polygons: List[Sequence[float]], height: int,
 
 
 def read_image_bgr(path: str, height: int, width: int) -> np.ndarray:
-    """Read + resize one frame with the reference's fallback chain."""
+    """Read + resize one frame with the reference's fallback chain.
+
+    Returns RAW uint8 BGR: mean/std normalization is done on device by the
+    consumer (`train_step.compute_losses` / `ops.preprocess`), so the
+    host->device payload stays 1 byte/px instead of 4."""
     if not os.path.exists(path):
         path = path.replace(".jpg", ".png")
     if not os.path.exists(path):
         path = path.replace("frames_hq", "frames_hq_neg")
     img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR, matching INPUT.FORMAT
     if img is None:
-        return np.zeros((height, width, 3), np.float32)
-    img = cv2.resize(img, (width, height))
-    return img.astype(np.float32)
+        return np.zeros((height, width, 3), np.uint8)
+    return cv2.resize(img, (width, height))
 
 
 class PlaneRCNNMapper:
@@ -124,7 +127,9 @@ class PlaneRCNNMapper:
         boxes = np.zeros((g, 4), np.float32)
         classes = np.zeros((g,), np.int32)
         valid = np.zeros((g,), bool)
-        masks = (np.zeros((g, h, w), np.float32) if with_masks else None)
+        # uint8 bitmasks: 4x less host->device traffic than f32 (the loss
+        # crop casts to f32 on device, train/targets.py::crop_gt_masks)
+        masks = (np.zeros((g, h, w), np.uint8) if with_masks else None)
         planes = np.zeros((g, 3), np.float32)
         rot_axis = np.tile(np.asarray([0, 0, 1, 0], np.float32), (g, 1))
         tran_axis = np.tile(np.asarray([0, 0, 1, 0], np.float32), (g, 1))

@@ -374,8 +374,8 @@ def detection_losses(outputs: Dict, rois: SampledROIs, gt: Dict,
 
         r = outputs["refine"]
         per_image = jax.vmap(refine_loss_single)(
-            r["logits"], gt["masks"], gt["valid"], r["soft_masks"],
-            r["valid"])
+            r["logits"], gt["masks"].astype(jnp.float32), gt["valid"],
+            r["soft_masks"], r["valid"])
         # the reference SUMS the per-image losses (refine_head.py:242,278)
         losses["refine_loss"] = (mcfg.refine_head.loss_weight *
                                  jnp.sum(per_image))

@@ -9,7 +9,7 @@ reference (`modeling/meta_arch/planercnn.py:96-109`,
 losses nor receive updates (optax mask in `optimizer.py`).
 
 Batch contract (all fixed-shape, padded; see `data/` mapper):
-  images     (B, H, W, 3)  preprocessed float32/bf16
+  images     (B, H, W, 3)  RAW BGR pixels, uint8 (normalized on device)
   gt_boxes   (B, G, 4)     XYXY absolute pixels
   gt_classes (B, G) int32
   gt_valid   (B, G) bool
@@ -60,13 +60,25 @@ def compute_losses(model: PlaneRCNN, params, batch_stats,
     (ROI sampling, RPN anchor subsampling) is derived PER IMAGE from these
     keys, so a batch sharded over devices (per-image keys presplit from the
     global batch index by `make_sharded_train_step`) samples identically to
-    the same batch on one device."""
-    base = per_image_keys(key, batch["images"].shape[0])     # (B, 2)
+    the same batch on one device.
+
+    `batch["images"]` are RAW BGR pixels (uint8 from the mapper, or any
+    float dtype in the 0..255 domain): mean/std normalization happens HERE,
+    on device — the d2 meta-arch normalizes inside the model too
+    (`preprocess_image`, reference `modeling/meta_arch/planercnn.py:62-70`),
+    and shipping uint8 instead of f32 quarters the host->device payload
+    (59 -> 15 MB per 16-image 480x640 batch; the dominant trainer wall cost
+    on high-latency clients, PROFILE.md)."""
+    icfg = config.input
+    images = ((batch["images"].astype(jnp.float32)
+               - jnp.asarray(icfg.pixel_mean, jnp.float32))
+              / jnp.asarray(icfg.pixel_std, jnp.float32))
+    base = per_image_keys(key, images.shape[0])               # (B, 2)
     k_roi = jax.vmap(lambda k: jax.random.fold_in(k, 0))(base)
     k_rpn = jax.vmap(lambda k: jax.random.fold_in(k, 1))(base)
     (outputs, rois), mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
-        batch["images"], batch["gt_boxes"], batch["gt_classes"],
+        images, batch["gt_boxes"], batch["gt_classes"],
         batch["gt_valid"], k_roi,
         method=PlaneRCNN.train_forward, mutable=["batch_stats"])
 

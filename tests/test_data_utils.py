@@ -244,3 +244,27 @@ def test_prefetch_loader_order_and_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="loader died"):
         next(it)
+
+def test_train_normalization_matches_inference_preprocess():
+    """The train step's on-device normalization of the mapper's RAW uint8
+    images is numerically identical to the inference path's preprocess op
+    (the d2 meta-arch normalizes once for both, `preprocess_image`,
+    reference modeling/meta_arch/planercnn.py:62-70).  Guards the round-5
+    contract change: the mapper ships uint8, compute_losses normalizes."""
+    import jax.numpy as jnp
+
+    from articulation3d_tpu.config import Config
+    from articulation3d_tpu.ops.preprocess import preprocess_images
+
+    cfg = Config()
+    rs = np.random.RandomState(3)
+    frames = rs.randint(0, 256, (2, 64, 96, 3)).astype(np.uint8)
+    icfg = cfg.input
+    # exactly the expression in train_step.compute_losses
+    train_norm = ((jnp.asarray(frames).astype(jnp.float32)
+                   - jnp.asarray(icfg.pixel_mean, jnp.float32))
+                  / jnp.asarray(icfg.pixel_std, jnp.float32))
+    inf_norm = preprocess_images(jnp.asarray(frames), icfg.pixel_mean,
+                                 icfg.pixel_std, height=64, width=96)
+    np.testing.assert_array_equal(np.asarray(train_norm),
+                                  np.asarray(inf_norm))

@@ -71,8 +71,11 @@ def tiny_train_config(tmp_path):
     )
     return Config(
         model=model, input=InputConfig(height=H, width=W),
+        # lr kept small: on tiny noise images the early detector losses are
+        # large, and the k-step-vs-per-step comparisons here only need the
+        # trajectories finite and identical
         solver=SolverConfig(ims_per_batch=2, checkpoint_period=3,
-                            base_lr=1e-3, warmup_iters=2),
+                            base_lr=1e-6, warmup_iters=2),
         test=TestConfig(eval_period=0),
         datasets_train=("tiny_arti",), datasets_test=("tiny_arti",),
         output_dir=str(tmp_path / "exps"))
@@ -125,7 +128,10 @@ def test_multi_step_identity():
                                      detections_per_image=4),
             dtype="float32"),
         input=InputConfig(height=64, width=96),
-        solver=SolverConfig(ims_per_batch=2, warmup_iters=2, base_lr=1e-3))
+        # lr low enough that an untrained net on NOISE images (no real
+        # statistics; losses start in the hundreds) stays finite over the
+        # 4 compared steps — the test pins path identity, not convergence
+        solver=SolverConfig(ims_per_batch=2, warmup_iters=2, base_lr=1e-6))
     rng = jax.random.PRNGKey(0)
     model, state_a = create_train_state(cfg, rng)
     tx = build_optimizer(cfg, state_a.params)
@@ -136,7 +142,8 @@ def test_multi_step_identity():
     for _ in range(4):
         boxes = np.array([[[10, 8, 40, 30], [30, 20, 80, 55]]] * 2, np.float32)
         batches.append({
-            "images": rs.randn(2, 64, 96, 3).astype(np.float32),
+            # RAW pixel domain (the step normalizes on device)
+            "images": rs.randint(0, 256, (2, 64, 96, 3)).astype(np.uint8),
             "gt_boxes": boxes,
             "gt_classes": rs.randint(0, 2, (2, 2)).astype(np.int32),
             "gt_valid": np.ones((2, 2), bool),

@@ -76,7 +76,8 @@ def _dryrun_pieces():
     masks = np.zeros((b, gi, h, w), np.float32)
     masks[:, :, 10:30, 15:45] = 1.0
     batch = {
-        "images": rs.randn(b, h, w, 3).astype(np.float32),
+        # RAW pixel domain (compute_losses normalizes on device)
+        "images": rs.randint(0, 256, (b, h, w, 3)).astype(np.uint8),
         "gt_boxes": np.tile(np.asarray([[15, 10, 45, 30]], np.float32),
                             (b, gi, 1)),
         "gt_classes": rs.randint(0, 2, (b, gi)).astype(np.int32),
@@ -192,7 +193,8 @@ def phase_bisect():
     def fwd_only(batch):
         (outputs, rois), _ = model.apply(
             {"params": params, "batch_stats": stats},
-            batch["images"], batch["gt_boxes"], batch["gt_classes"],
+            batch["images"].astype(jnp.float32),
+            batch["gt_boxes"], batch["gt_classes"],
             batch["gt_valid"], jax.random.split(key, batch["images"].shape[0]),
             method=PlaneRCNN.train_forward, mutable=["batch_stats"])
         return sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(outputs))

@@ -73,6 +73,12 @@ def main():  # noqa: C901
     batch = jax.device_put(_batch(cfg, args.ims), dev)
     key = jax.device_put(jax.random.PRNGKey(42), dev)
     jax.block_until_ready(batch)
+    # feature-stage rows consume the model-domain (normalized f32) images;
+    # the full-step rows feed raw uint8 and normalize inside the step
+    imgs_f = jax.jit(lambda im: (
+        (im.astype(jnp.float32) - jnp.asarray(cfg.input.pixel_mean))
+        / jnp.asarray(cfg.input.pixel_std)))(batch["images"])
+    jax.block_until_ready(imgs_f)
 
     model = PlaneRCNN(cfg)
     h, w = cfg.input.height, cfg.input.width
@@ -94,14 +100,14 @@ def main():  # noqa: C901
     # -- prefixes of the training program -----------------------------------
     stage("features fwd", lambda p, im: _reduce(model.apply(
         {"params": p, "batch_stats": batch_stats}, im,
-        method=PlaneRCNN.features)), (params, batch["images"]))
+        method=PlaneRCNN.features)), (params, imgs_f))
 
     def feat_grad(p, im):
         return _reduce(jax.grad(lambda pp: _reduce(model.apply(
             {"params": pp, "batch_stats": batch_stats}, im,
             method=PlaneRCNN.features)))(p))
 
-    stage("features fwd+bwd", feat_grad, (params, batch["images"]))
+    stage("features fwd+bwd", feat_grad, (params, imgs_f))
 
     # depth decoder isolated at train shapes (stage 3's widest non-ROI
     # module: 5 conv lanes + 5 deconv merges at up to 120x160, bilinear to
@@ -109,7 +115,7 @@ def main():  # noqa: C901
     if cfg.model.depth_on:
         feats0 = jax.jit(lambda p, im: model.apply(
             {"params": p, "batch_stats": batch_stats}, im,
-            method=PlaneRCNN.features))(params, batch["images"])
+            method=PlaneRCNN.features))(params, imgs_f)
         jax.block_until_ready(feats0)
 
         def depth_fwd(p, fs):
@@ -158,7 +164,7 @@ def main():  # noqa: C901
 
     feats = jax.jit(lambda p, im: model.apply(
         {"params": p, "batch_stats": batch_stats}, im,
-        method=PlaneRCNN.features))(params, batch["images"])
+        method=PlaneRCNN.features))(params, imgs_f)
     roi_feats = [feats[f] for f in cfg.model.roi_heads.in_features]
     jax.block_until_ready(roi_feats)
     n = cfg.model.roi_heads.batch_size_per_image

@@ -81,9 +81,9 @@ def _batch(cfg, b: int, g: int = 4):
     dh, dw = cfg.model.depth_head.output_height, cfg.model.depth_head.output_width
     axis = np.tile(np.asarray([0.6, 0.8, 0.1, 1.0], np.float32), (b, g, 1))
     return {
-        # NORMALIZED domain: the train step consumes mapper output (mean
-        # already subtracted, data/mapper.py), not raw pixels
-        "images": rs.randn(b, h, w, 3).astype(np.float32),
+        # RAW pixel domain: the train step normalizes on device
+        # (train_step.compute_losses), consuming uint8 mapper output
+        "images": rs.randint(0, 256, (b, h, w, 3)).astype(np.uint8),
         "gt_boxes": boxes,
         "gt_classes": rs.randint(0, 2, (b, g)).astype(np.int32),
         "gt_valid": np.ones((b, g), bool),
