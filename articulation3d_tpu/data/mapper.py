@@ -107,7 +107,13 @@ class PlaneRCNNMapper:
             depth = cv2.imread(record["depth_path"], cv2.IMREAD_UNCHANGED)
             if depth is None:
                 depth = np.zeros((h, w), np.float32)
-            out["gt_depth"] = depth.astype(np.float32) / self.depth_shift
+            if self.is_train and depth.dtype == np.uint16:
+                # ship the raw u16 millimeter map; the device divides by
+                # depth_shift (train_step.compute_losses) — 2 bytes/px
+                # instead of 4 through the host->device path
+                out["gt_depth_mm"] = depth
+            else:
+                out["gt_depth"] = depth.astype(np.float32) / self.depth_shift
 
         annos = [a for a in record.get("annotations", [])
                  if a.get("iscrowd", 0) == 0]
@@ -168,7 +174,13 @@ class PlaneRCNNMapper:
 
         out = {"gt_boxes": boxes, "gt_classes": classes, "gt_valid": valid}
         if with_masks:
-            out["gt_masks"] = masks
+            if self.is_train:
+                # bitpack along W: (g, h, ceil(w/8)) uint8, 8x less
+                # host->device traffic; unpacked on device by
+                # train_step.unpack_bitmasks (exact inverse)
+                out["gt_masks_packed"] = np.packbits(masks, axis=-1)
+            else:
+                out["gt_masks"] = masks
         if mcfg.plane_on:
             out["gt_planes"] = planes
         if mcfg.axis_on:

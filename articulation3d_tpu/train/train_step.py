@@ -14,9 +14,13 @@ Batch contract (all fixed-shape, padded; see `data/` mapper):
   gt_classes (B, G) int32
   gt_valid   (B, G) bool
   gt_masks   (B, G, H, W)  binary float     [mask_on]
+    (or gt_masks_packed (B, G, H, ceil(W/8)) uint8 — np.packbits along W,
+     unpacked on device by `unpack_bitmasks`; what the train mapper ships)
   gt_planes  (B, G, 3)                       [plane_on]
   gt_rot_axis / gt_tran_axis (B, G, 4)  (sin, cos, offset, valid)  [axis_on]
-  gt_depth   (B, Hd, Wd)                     [depth_on]
+  gt_depth   (B, Hd, Wd)  f32 meters         [depth_on]
+    (or gt_depth_mm (B, Hd, Wd) uint16 millimeters — divided by the d2
+     depth_shift=1000 on device; what the train mapper ships for u16 files)
 """
 
 from __future__ import annotations
@@ -49,6 +53,18 @@ def create_train_state(config: Config, rng: jax.Array,
     return model, TrainState(step=jnp.zeros((), jnp.int32), params=params,
                              batch_stats=variables.get("batch_stats", {}),
                              opt_state=tx.init(params))
+
+
+def unpack_bitmasks(packed: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Device-side inverse of `np.packbits(masks, axis=-1)`.
+
+    packed (..., ceil(W/8)) uint8 -> (..., W) float32 in {0, 1}.  Pure
+    shift/mask/reshape — XLA fuses it into the consumer, so the 8x
+    host->device payload saving costs nothing on chip."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)            # MSB first
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    return bits[..., :width].astype(jnp.float32)
 
 
 def compute_losses(model: PlaneRCNN, params, batch_stats,
@@ -96,6 +112,13 @@ def compute_losses(model: PlaneRCNN, params, batch_stats,
                      ("gt_depth", "depth")):
         if src in batch:
             gt[dst] = batch[src]
+    # compact wire encodings from the train mapper (PROFILE.md: the trainer
+    # wall is payload-bound on high-latency clients)
+    if "gt_masks_packed" in batch:
+        gt["masks"] = unpack_bitmasks(batch["gt_masks_packed"],
+                                      images.shape[2])
+    if "gt_depth_mm" in batch:
+        gt["depth"] = batch["gt_depth_mm"].astype(jnp.float32) / 1000.0
     losses.update(detection_losses(outputs, rois, gt, config))
     return losses, mutated.get("batch_stats", {})
 

@@ -183,19 +183,61 @@ class Trainer:
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
 
+        # -- async device feeder: a daemon thread assembles each dispatch
+        # chunk (k mapper batches, stacked) and STARTS its host->device
+        # transfer (`jax.device_put` is async) while the device is still
+        # executing the previous chunk.  On high-latency clients the
+        # payload transfer (~295 MB per k=20 chunk at ims 16) otherwise
+        # serializes with compute — measured as the residual between the
+        # soak wall and the no-loader k-step wall (PROFILE.md).  maxsize=1
+        # bounds device residency to 2 chunks (one executing, one landing).
+        import queue as _queue
+        import threading as _threading
+
+        def chunk_sizes(lo: int, hi: int):
+            while lo < hi:
+                c = (self.k if (self._multi_fn is not None
+                                and lo + self.k <= hi) else 1)
+                yield c
+                lo += c
+
+        feed_q: "_queue.Queue" = _queue.Queue(maxsize=1)
+        _sentinel = object()
+
+        def _feeder():
+            try:
+                for c in chunk_sizes(start, max_iter):
+                    raw = [next(it) for _ in range(c)]
+                    raw = [{kk: v for kk, v in b.items()
+                            if isinstance(v, np.ndarray)} for b in raw]
+                    if c > 1:
+                        batch = stack_batches(raw)
+                        batch = (shard_batch(self.mesh, batch, axis=1)
+                                 if self.mesh is not None
+                                 else jax.device_put(batch))
+                    else:
+                        batch = (shard_batch(self.mesh, raw[0])
+                                 if self.mesh is not None
+                                 else jax.device_put(raw[0]))
+                    feed_q.put((c, batch))
+            except BaseException as e:  # surfaced on the consumer side
+                feed_q.put(e)
+            finally:
+                feed_q.put(_sentinel)
+
+        _threading.Thread(target=_feeder, daemon=True).start()
+
         step = start
         while step < max_iter:
-            k = self.k if (self._multi_fn is not None
-                           and step + self.k <= max_iter) else 1
+            item = feed_q.get()
+            if item is _sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            k, batch = item
             if profile_dir and step >= start + 10:
                 jax.profiler.start_trace(profile_dir)
-            raw = [next(it) for _ in range(k)]
-            raw = [{kk: v for kk, v in b.items() if isinstance(v, np.ndarray)}
-                   for b in raw]
             if k > 1:
-                batch = stack_batches(raw)
-                if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch, axis=1)
                 self.state, metrics = self._multi_fn(self.state, batch,
                                                      self._base_key)
                 # stacked (k,) metric leaves: one host fetch for the chunk
@@ -203,9 +245,6 @@ class Trainer:
                 per_step = [{kk: float(v[i]) for kk, v in mhost.items()}
                             for i in range(k)]
             else:
-                batch = raw[0]
-                if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
                 self.state, metrics = self._step_fn(self.state, batch,
                                                     self._base_key)
                 per_step = [{kk: float(v) for kk, v in

@@ -268,3 +268,56 @@ def test_train_normalization_matches_inference_preprocess():
                                  icfg.pixel_std, height=64, width=96)
     np.testing.assert_array_equal(np.asarray(train_norm),
                                   np.asarray(inf_norm))
+
+
+def test_unpack_bitmasks_inverts_packbits():
+    """Device unpack is the exact inverse of the mapper's np.packbits wire
+    encoding, including the non-multiple-of-8 width tail."""
+    from articulation3d_tpu.train.train_step import unpack_bitmasks
+
+    rs = np.random.RandomState(11)
+    for w in (96, 100, 13):
+        masks = (rs.rand(3, 5, 17, w) > 0.5).astype(np.uint8)
+        packed = np.packbits(masks, axis=-1)
+        out = np.asarray(unpack_bitmasks(packed, w))
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, masks.astype(np.float32))
+
+
+def test_mapper_compact_wire_encodings(tmp_path):
+    """The train mapper ships gt_masks_packed (packbits) and u16 depth as
+    gt_depth_mm; compute_losses' decode of both matches the eval mapper's
+    raw f32 contract bit-for-bit."""
+    import cv2
+
+    from articulation3d_tpu.config import Config
+    from articulation3d_tpu.data.mapper import PlaneRCNNMapper
+    from articulation3d_tpu.train.train_step import unpack_bitmasks
+
+    cfg = Config()
+    h, w = 32, 48
+    img_path = str(tmp_path / "f.png")
+    cv2.imwrite(img_path, np.zeros((h, w, 3), np.uint8))
+    depth_mm = np.arange(h * w, dtype=np.uint16).reshape(h, w)
+    depth_path = str(tmp_path / "d.png")
+    cv2.imwrite(depth_path, depth_mm)
+    record = {
+        "file_name": img_path, "depth_path": depth_path,
+        "image_id": 0, "height": h, "width": w,
+        "annotations": [{
+            "bbox": [4, 4, 20, 16], "bbox_mode": 0, "category_id": 0,
+            "segmentation": (np.arange(h * w).reshape(h, w) % 3 == 0
+                             ).astype(np.uint8),
+        }],
+    }
+    train_out = PlaneRCNNMapper(cfg, is_train=True, max_instances=4)(record)
+    eval_out = PlaneRCNNMapper(cfg, is_train=False, max_instances=4)(record)
+    assert "gt_masks_packed" in train_out and "gt_masks" not in train_out
+    assert train_out["gt_masks_packed"].shape == (4, h, (w + 7) // 8)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_bitmasks(train_out["gt_masks_packed"], w)),
+        eval_out["gt_masks"].astype(np.float32))
+    assert train_out["gt_depth_mm"].dtype == np.uint16
+    np.testing.assert_array_equal(
+        train_out["gt_depth_mm"].astype(np.float32) / 1000.0,
+        eval_out["gt_depth"])

@@ -134,9 +134,39 @@ def main():
     for phase in ("train", "val", "test"):
         ds.dump(phase)
     ds.sanity_check()
+
+    # -- stage-2/3 targets: the synthetic CSVs carry no mask/depth/plane
+    # data, so the builder's cached_set has boxes+axes only (enough for the
+    # stage-1 soak).  Augment each record in place so the SAME dataset also
+    # drives the full-cascade recipes on chip: a rectangle polygon
+    # segmentation exactly at the GT box (matching the rendered rectangle),
+    # a unit frontal plane, and a synthetic u16 millimeter depth map.
+    import cv2 as _cv2
+    depth_dir = os.path.join(args.root, "arti_depth")
+    os.makedirs(depth_dir, exist_ok=True)
+    ramp = (1500 + (np.arange(480)[:, None] * 4)
+            + (np.arange(640)[None, :] % 128)).astype(np.uint16)  # mm
+    for phase in ("train", "val", "test"):
+        jf = os.path.join(args.root, "articulation",
+                          f"cached_set_{phase}.json")
+        with open(jf) as f:
+            blob = json.load(f)
+        for rec in blob["data"]:
+            stem = os.path.splitext(os.path.basename(rec["file_name"]))[0]
+            dp = os.path.join(depth_dir, f"{stem}.png")
+            if not os.path.exists(dp):
+                _cv2.imwrite(dp, ramp)
+            rec["depth_path"] = dp
+            for a in rec.get("annotations", []):
+                x1, y1, x2, y2 = a["bbox"]  # XYXY_ABS (builder output)
+                a["segmentation"] = [[x1, y1, x2, y1, x2, y2, x1, y2]]
+                a["plane"] = [0.0, 0.0, 1.0]
+        with open(jf, "w") as f:
+            json.dump(blob, f)
+
     print(f"soak dataset ready under {args.root} "
           f"({len(train_ids)} train / {len(val_ids)} val / "
-          f"{len(test_ids)} test videos)")
+          f"{len(test_ids)} test videos; stage-3 targets augmented)")
 
 
 if __name__ == "__main__":
