@@ -128,8 +128,11 @@ def _cluster_pass(preds: Sequence, plane: Dict, kind: str, hyp: np.ndarray,
             frame_masks = np.stack(
                 [np.asarray(preds[i].masks[plane["ids"][i]]) for i in id_list])
             # bucketed frame axis: F shrinks every round; padding to a
-            # power-of-two bucket avoids one XLA compile per distinct F
-            ious = iou_matrix_bucketed(frame_masks, proj)
+            # power-of-two bucket avoids one XLA compile per distinct F.
+            # Fetch the whole matrix in ONE transfer: the per-row reads
+            # below would otherwise each pay a device round trip (~F
+            # round trips per round on a remote PJRT client).
+            ious = np.asarray(iou_matrix_bucketed(frame_masks, proj))
             # CPython for-loop + remove() skips the element after each removal
             pos = {idx: k for k, idx in enumerate(id_list)}
             i = 0
@@ -180,7 +183,7 @@ def _regularize(preds, plane, kind: str, hyp_final: np.ndarray,
     frame_ids = list(plane["ids"].keys())
     frame_masks = np.stack(
         [np.asarray(preds[i].masks[plane["ids"][i]]) for i in frame_ids])
-    ious = iou_matrix_bucketed(frame_masks, jnp.asarray(proj))
+    ious = np.asarray(iou_matrix_bucketed(frame_masks, jnp.asarray(proj)))
     for k, idx in enumerate(frame_ids):
         aid = int(np.argmax(ious[k]))
         plane["reg_masks"][idx] = proj[aid]

@@ -64,6 +64,8 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
 
+    from articulation3d_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     from articulation3d_tpu.config import load_config
     from articulation3d_tpu.data.catalog import get_metadata
     from articulation3d_tpu.temporal import optimize_planes, track_planes

@@ -58,6 +58,9 @@ def main():
     parser.add_argument("--batch-size", default=8, type=int)
     args = parser.parse_args()
 
+    from articulation3d_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import torch
 
     from articulation3d_tpu.config import load_config

@@ -57,6 +57,8 @@ def main():
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
 
+    from articulation3d_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     from articulation3d_tpu.parallel import init_distributed
     init_distributed(coordinator_address=args.dist_url,
                      num_processes=args.num_machines,
